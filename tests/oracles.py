@@ -1,0 +1,117 @@
+"""Dense NumPy f64 oracles re-implementing the reference's numerics.
+
+These are direct ports of the semantics in
+`/root/reference/src/astro_sph_tools/tools/projections/` (per-pixel gather,
+3D kernel at projected radius, r^2 < (2h)^2 mask) used as ground truth for
+the TPU deposit engine (SURVEY.md §4: "dense NumPy reference implementation
+of the projector as the oracle for the Pallas path").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cubic_spline_w(r: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """M4 cubic spline, 3D norm, support 2h (reference _kernels.pyx:14-19)."""
+    q = r / h
+    out = np.zeros(np.broadcast(q, h).shape, dtype=np.float64)
+    h3pi = np.pi * np.broadcast_to(h, out.shape) ** 3
+    qb = np.broadcast_to(q, out.shape)
+    inner = qb < 1.0
+    outer = (qb >= 1.0) & (qb < 2.0)
+    out[inner] = (1 - 1.5 * qb[inner] ** 2 + 0.75 * qb[inner] ** 3) / h3pi[inner]
+    out[outer] = 0.25 * (2 - qb[outer]) ** 3 / h3pi[outer]
+    return out
+
+
+def wendland_c2_w(r: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Wendland C2, 3D, support H=2h."""
+    u = np.clip(r / (2.0 * h), 0.0, 1.0)
+    return 21.0 / (16.0 * np.pi * h**3) * (1 - u) ** 4 * (1 + 4 * u)
+
+
+KERNEL_ORACLES = {"cubic_spline": cubic_spline_w, "wendland_c2": wendland_c2_w}
+
+
+def project_oracle(
+    x: np.ndarray,
+    y: np.ndarray,
+    h: np.ndarray,
+    values: np.ndarray,
+    shape: tuple[int, int],
+    extent: tuple[float, float, float, float],
+    kernel: str = "cubic_spline",
+    pixel_origin: str = "center",
+    periodic: bool = False,
+    support_factor: float = 2.0,
+) -> np.ndarray:
+    """Per-pixel gather projection, f64 (reference _pixel_calculations.pyx:9-36).
+
+    For each pixel sample point p: sum over particles of
+    ``value_i * W(|r_2d(p, particle_i)|, h_i)`` masked by
+    ``r^2 < (support_factor * h)^2``.
+    """
+    ny, nx = shape
+    x0, x1, y0, y1 = extent
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    off = 0.5 if pixel_origin == "center" else 0.0
+    w_fn = KERNEL_ORACLES[kernel]
+    Lx, Ly = x1 - x0, y1 - y0
+
+    image = np.zeros((ny, nx), dtype=np.float64)
+    xs = x0 + (np.arange(nx) + off) * psx
+    ys = y0 + (np.arange(ny) + off) * psy
+    for yi in range(ny):
+        for xi in range(nx):
+            dx = x - xs[xi]
+            dy = y - ys[yi]
+            if periodic:
+                dx = dx - np.round(dx / Lx) * Lx
+                dy = dy - np.round(dy / Ly) * Ly
+            r2 = dx * dx + dy * dy
+            mask = r2 < (support_factor * h) ** 2
+            if not mask.any():
+                continue
+            r = np.sqrt(r2[mask])
+            image[yi, xi] = np.sum(values[mask] * w_fn(r, h[mask]))
+    return image
+
+
+def grid3d_oracle(
+    pos: np.ndarray,
+    h: np.ndarray,
+    values: np.ndarray,
+    shape: tuple[int, int, int],
+    extent: tuple[float, ...],
+    kernel: str = "cubic_spline",
+    voxel_origin: str = "center",
+    periodic: bool = False,
+    support_factor: float = 2.0,
+) -> np.ndarray:
+    """Per-voxel gather with the full 3D kernel (f64)."""
+    nz, ny, nx = shape
+    x0, x1, y0, y1, z0, z1 = extent
+    ps = ((x1 - x0) / nx, (y1 - y0) / ny, (z1 - z0) / nz)
+    off = 0.5 if voxel_origin == "center" else 0.0
+    w_fn = KERNEL_ORACLES[kernel]
+    L = (x1 - x0, y1 - y0, z1 - z0)
+
+    grid = np.zeros((nz, ny, nx), dtype=np.float64)
+    xs = x0 + (np.arange(nx) + off) * ps[0]
+    ys = y0 + (np.arange(ny) + off) * ps[1]
+    zs = z0 + (np.arange(nz) + off) * ps[2]
+    for zi in range(nz):
+        for yi in range(ny):
+            for xi in range(nx):
+                d = pos - np.array([xs[xi], ys[yi], zs[zi]])
+                if periodic:
+                    for ax in range(3):
+                        d[:, ax] -= np.round(d[:, ax] / L[ax]) * L[ax]
+                r2 = (d**2).sum(axis=1)
+                mask = r2 < (support_factor * h) ** 2
+                if not mask.any():
+                    continue
+                grid[zi, yi, xi] = np.sum(values[mask] * w_fn(np.sqrt(r2[mask]), h[mask]))
+    return grid
