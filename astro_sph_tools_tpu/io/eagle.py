@@ -1,0 +1,452 @@
+"""EAGLE snapshot backend — pure h5py, multi-file, region-restrictable.
+
+Parity target: ``SnapshotEAGLE``
+(`/root/reference/src/astro_sph_tools/io/EAGLE/_SnapshotEAGLE.py`), with the
+C ``pyread_eagle`` dependency replaced by direct multi-file h5py reads:
+
+- filepath naming scheme ``sn[ai]pshot_NNN_zXpY/sn[ai]p_NNN_zXpY.K.hdf5``
+  (`_SnapshotEAGLE.py:69-74`); the ``a``/``i`` letter distinguishes snapshots
+  from snipshots.
+- header scrape: cosmology attrs, NumPart_Total, DM mass from MassTable[1],
+  per-field h/a-exponent + CGS attrs, Units group cross-checks
+  (`_SnapshotEAGLE.py:78-113`).
+- unit recipe ``physical = raw * h^h_exp * a^a_exp * cgs`` with a_exp = 0
+  for co-moving user data (`_SnapshotEAGLE.py:422-427`).
+- field vocabulary incl. DM constant masses, BH subgrid vs dynamical masses,
+  elemental number densities with the 1.661e-24 g atomic mass unit, FOF
+  group-number semantics (negatives = near-but-unbound,
+  EAGLE_MAX_GROUP_NUMBER clamp) (`_SnapshotEAGLE.py:481-641`).
+- region restriction with periodic handling (`_SnapshotEAGLE.py:176-310`),
+  re-expressed as wrapped-interval masks (which also fixes the reference's
+  x-wrap ``min_y`` mutation bug, SURVEY.md §2.9.8).
+
+Parallelism: instead of ``pyread_eagle.split_selection`` over MPI ranks
+(`_SnapshotEAGLE.py:119-130`), multi-process runs split the *file list* over
+``jax.process_index()`` — each host reads a disjoint chunk set feeding its
+local shard of a distributed array.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Optional, Sequence, Union
+
+import h5py
+import numpy as np
+
+from .. import constants as C
+from ..data_structures.particle_types import ParticleType
+from ..units import UnitArray, unit_array, unit_quantity
+from .errors import SnapshotFormatError, SnipshotFieldError, SnipshotOperationError
+from .snapshot import SnapshotBase
+
+EAGLE_MAX_GROUP_NUMBER = 2**30
+
+_SNAP_PATTERN = re.compile(
+    r".*sn(?P<letter>[ai])pshot_(?P<number>\d{3})_z(?P<zint>\d+)p(?P<zdec>\d+)"
+    r"[\\/]sn(?P=letter)p_(?P=number)_z(?P=zint)p(?P=zdec)\.(?P<index>\d+)\.(?P<ext>\w+)$"
+)
+
+ELEMENT_FULL_NAMES = {
+    "H": "Hydrogen", "He": "Helium", "C": "Carbon", "N": "Nitrogen",
+    "O": "Oxygen", "Ne": "Neon", "Mg": "Magnesium", "Si": "Silicon", "Fe": "Iron",
+}
+
+
+def _wrapped_interval_mask(values: np.ndarray, lo: float, hi: float, box: float) -> np.ndarray:
+    """Membership of values (in [0, box)) in the possibly-wrapped [lo, hi).
+
+    Re-expression of the reference's periodic region decomposition
+    (`_SnapshotEAGLE.py:226-296`): an inverted range means the region crosses
+    the periodic boundary; out-of-box bounds are wrapped into the box first.
+    """
+    lo = lo % box
+    hi_m = hi % box
+    if hi - lo >= box:  # full axis
+        return np.ones(values.shape[0], dtype=bool)
+    if lo <= hi_m and hi_m != lo:
+        lo, hi = lo, hi_m
+        return (values >= lo) & (values < hi)
+    # wrapped: [lo, box) U [0, hi)
+    return (values >= lo) | (values < hi_m)
+
+
+class SnapshotEAGLE(SnapshotBase):
+    """Multi-file EAGLE snapshot reader (h5py)."""
+
+    EAGLE_MAX_GROUP_NUMBER = EAGLE_MAX_GROUP_NUMBER
+
+    def __init__(self, filepath: str, process_index: int = 0, n_processes: int = 1) -> None:
+        match = _SNAP_PATTERN.match(filepath)
+        if not match:
+            raise SnapshotFormatError(
+                f'Snapshot filepath "{filepath}" does not conform to the naming scheme '
+                "of an EAGLE snapshot. EAGLE snapshot files must have a clear snapshot "
+                "number component in both the folder and file names."
+            )
+        snap_num = match.group("number")
+        is_snipshot = match.group("letter") == "i"
+
+        # discover all parallel files of this snapshot
+        stem = filepath.rsplit(".", 2)[0]
+        ext = match.group("ext")
+        self._file_paths = sorted(
+            glob.glob(f"{glob.escape(stem)}.*.{ext}"),
+            key=lambda p: int(p.rsplit(".", 2)[1]),
+        )
+        if not self._file_paths:
+            raise FileNotFoundError(filepath)
+        # multi-process data parallelism: this process reads files i::P
+        self._my_files = self._file_paths[process_index::n_processes]
+        self._n_processes = n_processes
+
+        with h5py.File(self._file_paths[0], "r") as f:
+            hdr = f["Header"].attrs
+            redshift = float(hdr["Redshift"])
+            hubble_param = float(hdr["HubbleParam"])
+            expansion_factor = float(hdr["ExpansionFactor"])
+            omega_baryon = float(hdr["OmegaBaryon"])
+            self._num_part_total = np.asarray(hdr["NumPart_Total"], dtype=np.int64)
+            self._dm_mass_internal = float(hdr["MassTable"][1])
+            self._box_internal = float(hdr["BoxSize"])
+            self._solar_metallicity = float(f["Constants"].attrs["Z_Solar"])
+
+            coords = f["PartType1/Coordinates"].attrs
+            self._length_h_exp = float(coords["h-scale-exponent"])
+            self._length_a_exp = float(coords["aexp-scale-exponent"])
+            self._length_cgs = float(coords["CGSConversionFactor"])
+            try:
+                mass_attrs = f["PartType0/Mass"].attrs
+                self._mass_h_exp = float(mass_attrs["h-scale-exponent"])
+                self._mass_cgs = float(mass_attrs["CGSConversionFactor"])
+            except KeyError:
+                # no gas particles: the reference falls back to EAGLE's
+                # standard values (`_SnapshotEAGLE.py:90-98`)
+                self._mass_h_exp = -1.0
+                self._mass_cgs = 1.989e43
+            vel = f["PartType1/Velocity"].attrs
+            self._velocity_h_exp = float(vel["h-scale-exponent"])
+            self._velocity_a_exp = float(vel["aexp-scale-exponent"])
+            self._velocity_cgs = float(vel["CGSConversionFactor"])
+
+            units = f["Units"].attrs
+            self._density_cgs = float(units["UnitDensity_in_cgs"])
+            # consistency cross-checks (`_SnapshotEAGLE.py:111-113`)
+            assert self._length_cgs == float(units["UnitLength_in_cm"])
+            assert self._mass_cgs == float(units["UnitMass_in_g"])
+            assert self._velocity_cgs == float(units["UnitVelocity_in_cm_per_s"])
+
+            # per-file particle counts per type
+            self._file_counts = {}  # filled below
+
+        self._per_file_counts = np.zeros((len(self._file_paths), 6), dtype=np.int64)
+        for i, path in enumerate(self._file_paths):
+            with h5py.File(path, "r") as f:
+                self._per_file_counts[i] = np.asarray(
+                    f["Header"].attrs["NumPart_ThisFile"], dtype=np.int64
+                )
+
+        self._region_masks: dict[ParticleType, Optional[np.ndarray]] = {}
+        self._regions: Optional[list[tuple]] = None
+
+        box_mpc = (
+            self._box_internal
+            * hubble_param**self._length_h_exp
+            * self._length_cgs
+            / C.MEGAPARSEC_CGS
+        )
+        super().__init__(
+            filepath=filepath,
+            number=snap_num,
+            redshift=redshift,
+            hubble_param=hubble_param,
+            omega_baryon=omega_baryon,
+            expansion_factor=expansion_factor,
+            box_size=unit_array(np.full(3, box_mpc), "Mpc"),
+            tracked_elements=C.EAGLE_TRACKED_ELEMENTS,
+            snipshot=is_snipshot,
+        )
+
+    # -- counts --------------------------------------------------------------
+    def _get_number_of_particles(self) -> dict[ParticleType, int]:
+        return {pt: int(self._num_part_total[pt.value]) for pt in ParticleType.get_all()}
+
+    def _get_number_of_particles_this_rank(self) -> dict[ParticleType, int]:
+        out = {}
+        for pt in ParticleType.get_all():
+            mask = self._region_masks.get(pt)
+            if mask is not None:
+                out[pt] = int(mask.sum())
+            else:
+                my_idx = [self._file_paths.index(p) for p in self._my_files]
+                out[pt] = int(self._per_file_counts[my_idx, pt.value].sum())
+        return out
+
+    # -- raw reads -----------------------------------------------------------
+    def _read_dataset(
+        self, particle_type: ParticleType, field: str, dtype=np.float64, trailing: tuple = ()
+    ) -> np.ndarray:
+        """Concatenate a field over this process's files, applying any active
+        region restriction (`_SnapshotEAGLE.py:481-491` analogue)."""
+        parts = []
+        for path in self._my_files:
+            with h5py.File(path, "r") as f:
+                key = f"{particle_type.common_hdf5_name}/{field}"
+                if key in f:
+                    parts.append(np.asarray(f[key]))
+        if not parts:
+            return np.empty((0, *trailing), dtype=dtype)
+        data = np.concatenate(parts, axis=0)
+        mask = self._region_masks.get(particle_type)
+        if mask is not None:
+            data = data[mask]
+        return data
+
+    def _field_attrs(self, particle_type: ParticleType, field: str) -> tuple[float, float, float]:
+        for path in self._my_files + self._file_paths:
+            with h5py.File(path, "r") as f:
+                key = f"{particle_type.common_hdf5_name}/{field}"
+                if key in f:
+                    a = f[key].attrs
+                    return (
+                        float(a["h-scale-exponent"]),
+                        float(a["aexp-scale-exponent"]),
+                        float(a["CGSConversionFactor"]),
+                    )
+        raise KeyError(field)
+
+    # -- unit materialisation (`_SnapshotEAGLE.py:422-453`) --------------------
+    def make_cgs_data(
+        self, cgs_units: str, data: np.ndarray, h_exp: float, cgs_conversion_factor: float,
+        a_exp: float = 0.0,
+    ) -> UnitArray:
+        """physical = raw * h^h_exp * a^a_exp * cgs; a_exp = 0 keeps co-moving."""
+        return unit_array(
+            data * (self.h**h_exp) * (self.a**a_exp) * cgs_conversion_factor, cgs_units
+        )
+
+    def _convert_to_cgs_length(self, data, proper=False) -> UnitArray:
+        return self.make_cgs_data(
+            "cm", data, h_exp=self._length_h_exp, cgs_conversion_factor=self._length_cgs,
+            a_exp=self._length_a_exp if proper else 0.0,
+        )
+
+    def _convert_to_cgs_mass(self, data) -> UnitArray:
+        return self.make_cgs_data(
+            "g", data, h_exp=self._mass_h_exp, cgs_conversion_factor=self._mass_cgs
+        )
+
+    def _convert_to_cgs_velocity(self, data, proper=False) -> UnitArray:
+        return self.make_cgs_data(
+            "cm/s", data, h_exp=self._velocity_h_exp, cgs_conversion_factor=self._velocity_cgs,
+            a_exp=self._velocity_a_exp if proper else 0.0,
+        )
+
+    @property
+    def dark_matter_particle_mass(self) -> UnitArray:
+        return self._convert_to_cgs_mass(np.float64(self._dm_mass_internal)).to("Msun")
+
+    # -- region restriction (`_SnapshotEAGLE.py:176-418`) ----------------------
+    def restrict_data_comoving_loading_region(
+        self,
+        min_x: Union[float, UnitArray, Sequence],
+        max_x: Union[float, UnitArray, Sequence],
+        min_y: Union[float, UnitArray, Sequence],
+        max_y: Union[float, UnitArray, Sequence],
+        min_z: Union[float, UnitArray, Sequence],
+        max_z: Union[float, UnitArray, Sequence],
+    ) -> None:
+        """Restrict subsequent reads to axis-aligned co-moving box region(s).
+
+        Accepts scalars (Mpc or UnitArray lengths) or equal-length sequences
+        of region bounds (`_SnapshotEAGLE.py:312-418` batch wrappers).
+        Inverted ranges wrap across the periodic boundary.
+        """
+        def to_mpc_list(v):
+            if isinstance(v, UnitArray):
+                v = v.to_value("Mpc")
+            arr = np.atleast_1d(np.asarray(v, dtype=np.float64))
+            return arr
+
+        bounds = [to_mpc_list(b) for b in (min_x, max_x, min_y, max_y, min_z, max_z)]
+        n_regions = bounds[0].shape[0]
+        if any(b.shape[0] != n_regions for b in bounds):
+            raise ValueError("All region bound sequences must have the same length.")
+        self._regions = [tuple(b[i] for b in bounds) for i in range(n_regions)]
+        self._region_masks = {}
+        self._build_region_masks()
+        self._update_number_of_particles()
+
+    def restrict_data_proper_loading_region(self, min_x, max_x, min_y, max_y, min_z, max_z):
+        """Proper-coordinate variant: bounds are converted to co-moving."""
+        conv = lambda v: (
+            self.to_comoving_length(v if not isinstance(v, UnitArray) else v.to_value("Mpc"))
+        )
+        self.restrict_data_comoving_loading_region(
+            conv(min_x), conv(max_x), conv(min_y), conv(max_y), conv(min_z), conv(max_z)
+        )
+
+    def clear_region_restriction(self) -> None:
+        self._regions = None
+        self._region_masks = {}
+        self._update_number_of_particles()
+
+    def _build_region_masks(self) -> None:
+        box = float(self.box_size.value[0])
+        for pt in ParticleType.get_all():
+            if self._num_part_total[pt.value] == 0:
+                self._region_masks[pt] = None
+                continue
+            # read raw coordinates without the active mask
+            saved = self._region_masks
+            self._region_masks = {}
+            raw = self._read_dataset(pt, "Coordinates", trailing=(3,))
+            self._region_masks = saved
+            pos = (
+                raw * (self.h**self._length_h_exp) * self._length_cgs / C.MEGAPARSEC_CGS
+            )
+            mask = np.zeros(pos.shape[0], dtype=bool)
+            for (x0, x1, y0, y1, z0, z1) in self._regions:
+                m = _wrapped_interval_mask(pos[:, 0], x0, x1, box)
+                m &= _wrapped_interval_mask(pos[:, 1], y0, y1, box)
+                m &= _wrapped_interval_mask(pos[:, 2], z0, z1, box)
+                mask |= m
+            self._region_masks[pt] = mask
+
+    # -- field getters ----------------------------------------------------------
+    def _get_IDs(self, particle_type: ParticleType) -> np.ndarray:
+        return self._read_dataset(particle_type, "ParticleIDs", dtype=np.int64)
+
+    def _get_smoothing_lengths(self, particle_type: ParticleType, use_proper_units: bool) -> UnitArray:
+        data = self._read_dataset(particle_type, "SmoothingLength")
+        return self._convert_to_cgs_length(data, proper=use_proper_units).to("Mpc")
+
+    def _get_masses(self, particle_type: ParticleType) -> UnitArray:
+        if particle_type == ParticleType.dark_matter:
+            n = self.number_of_particles_this_rank(ParticleType.dark_matter)
+            return unit_array(
+                np.full(n, self.dark_matter_particle_mass.value), "Msun"
+            )
+        return self._convert_to_cgs_mass(self._read_dataset(particle_type, "Mass")).to("Msun")
+
+    def _get_black_hole_subgrid_masses(self) -> UnitArray:
+        return self._convert_to_cgs_mass(
+            self._read_dataset(ParticleType.black_hole, "BH_Mass")
+        ).to("Msun")
+
+    def _get_black_hole_dynamical_masses(self) -> UnitArray:
+        return self._convert_to_cgs_mass(
+            self._read_dataset(ParticleType.black_hole, "Mass")
+        ).to("Msun")
+
+    def _get_positions(self, particle_type: ParticleType, use_proper_units: bool) -> UnitArray:
+        data = self._read_dataset(particle_type, "Coordinates", trailing=(3,))
+        return self._convert_to_cgs_length(data, proper=use_proper_units).to("Mpc")
+
+    def _get_velocities(self, particle_type: ParticleType, use_proper_units: bool) -> UnitArray:
+        data = self._read_dataset(particle_type, "Velocity", trailing=(3,))
+        return self._convert_to_cgs_velocity(data, proper=use_proper_units).to("km/s")
+
+    def _get_sfr(self) -> UnitArray:
+        raw = self._read_dataset(ParticleType.gas, "StarFormationRate")
+        try:
+            _, _, cgs = self._field_attrs(ParticleType.gas, "StarFormationRate")
+        except KeyError:
+            cgs = C.SOLAR_MASS_CGS / C.YEAR_CGS
+        return unit_array(raw * cgs, "g/s").to("Msun/yr")
+
+    def _get_metallicities(self, particle_type, solar_units, solar_metallicity) -> UnitArray:
+        result = unit_array(self._read_dataset(particle_type, "Metallicity"), "")
+        if not solar_units:
+            return result
+        return result / (
+            solar_metallicity if solar_metallicity is not None else self._solar_metallicity
+        )
+
+    @property
+    def solar_metallicity(self) -> float:
+        """File-provided Z_Solar (`_SnapshotEAGLE.py:534-539`)."""
+        return self._solar_metallicity
+
+    def _get_mean_enrichment_redshift(self, particle_type: ParticleType) -> UnitArray:
+        return unit_array(self._read_dataset(particle_type, "MetalMassWeightedRedshift"), "")
+
+    def _get_densities(self, particle_type: ParticleType, use_proper_units: bool) -> UnitArray:
+        # h_exp is hard-coded 2.0 in the reference (`_SnapshotEAGLE.py:544-551`)
+        return self.make_cgs_data(
+            "g/cm**3",
+            self._read_dataset(particle_type, "Density"),
+            h_exp=2.0,
+            cgs_conversion_factor=self._density_cgs,
+            a_exp=-3 if use_proper_units else 0,
+        ).to("Msun/Mpc**3")
+
+    def _get_number_densities(
+        self, particle_type: ParticleType, element: str, use_proper_units: bool,
+        default_abundance: Optional[float],
+    ) -> UnitArray:
+        """n = rho * X / (A * 1.661e-24 g) in cm^-3 (`_SnapshotEAGLE.py:553-585`)."""
+        if self.is_snipshot and default_abundance is None:
+            raise SnipshotOperationError(
+                "get_number_densities",
+                'Unable to read abundance data - snipshots do not contain this '
+                'information. A "default_abundance" value must be specified.',
+            )
+        if element not in ELEMENT_FULL_NAMES:
+            raise ValueError(f'Element "{element}" not tracked as part of EAGLE.')
+        atomic_weight_g = C.ATOMIC_WEIGHTS[element] * C.ATOMIC_MASS_UNIT_CGS_REFERENCE
+        rho = self.make_cgs_data(
+            "g/cm**3",
+            self._read_dataset(particle_type, "Density"),
+            h_exp=2.0,
+            cgs_conversion_factor=self._density_cgs,
+            a_exp=-3 if use_proper_units else 0,
+        )
+        if self.is_snipshot:
+            abundance = default_abundance
+        else:
+            abundance = self._read_dataset(
+                particle_type, f"ElementAbundance/{ELEMENT_FULL_NAMES[element]}"
+            )
+        return unit_array(rho.value * abundance / atomic_weight_g, "cm**-3")
+
+    def _get_temperatures(self, particle_type: ParticleType) -> UnitArray:
+        return unit_array(self._read_dataset(particle_type, "Temperature"), "K")
+
+    def _get_elemental_abundance(self, particle_type: ParticleType, element: str) -> UnitArray:
+        if self.is_snipshot:
+            raise SnipshotFieldError(
+                f"{particle_type}ElementAbundance",
+                "Unable to read abundance data - snipshots do not contain this information.",
+            )
+        if element not in ELEMENT_FULL_NAMES:
+            raise ValueError(f'Element "{element}" not tracked as part of EAGLE.')
+        return unit_array(
+            self._read_dataset(particle_type, f"ElementAbundance/{ELEMENT_FULL_NAMES[element]}"),
+            "",
+        )
+
+    # -- FOF membership straight from the snapshot (`_SnapshotEAGLE.py:615-641`) --
+    def get_group_ID(
+        self, particle_type: ParticleType, include_nearby_unattached_particles: bool = False
+    ) -> np.ndarray:
+        """Per-particle FOF group numbers. Negative on-disk values mark "near
+        but unbound" particles: negated when included, else clamped to
+        EAGLE_MAX_GROUP_NUMBER."""
+        gn = self._read_dataset(particle_type, "GroupNumber", dtype=np.int32).copy()
+        unbound = gn < 0
+        if include_nearby_unattached_particles:
+            gn[unbound] = -gn[unbound]
+        else:
+            gn[unbound] = self.EAGLE_MAX_GROUP_NUMBER
+        return gn
+
+    def get_group_index(
+        self, particle_type: ParticleType, include_nearby_unattached_particles: bool = False
+    ) -> np.ndarray:
+        """Group index = group number - 1; non-members become -1."""
+        gn = self.get_group_ID(particle_type, include_nearby_unattached_particles)
+        gn[gn == self.EAGLE_MAX_GROUP_NUMBER] = 0
+        return gn - 1

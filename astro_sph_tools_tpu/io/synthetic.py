@@ -1,0 +1,385 @@
+"""Synthetic EAGLE-schema dataset generator (test fixture + benchmark data).
+
+Writes multi-file HDF5 snapshots (and SUBFIND-style catalogues) with the
+exact header/attribute schema the reference consumes and SURVEY.md §4 calls
+for ("tiny synthetic EAGLE-format HDF5 snapshots ... written by a fixture
+generator"). Schema replicated from `/root/reference/src/astro_sph_tools/io/
+EAGLE/_SnapshotEAGLE.py:78-113` (snapshot) and `_CatalogueSUBFIND.py:66-104`
+(catalogue):
+
+- ``Header`` attrs: Redshift, HubbleParam, ExpansionFactor, OmegaBaryon,
+  NumPart_Total, NumPart_ThisFile, MassTable, BoxSize (internal h^-1 Mpc).
+- ``Constants`` attrs: Z_Solar. ``Units`` attrs: UnitLength_in_cm etc.
+- ``PartType{n}`` datasets each carrying ``h-scale-exponent``,
+  ``aexp-scale-exponent``, ``CGSConversionFactor`` attrs (EAGLE's recipe:
+  physical = raw * h^h_exp * a^a_exp * cgs).
+- Gas fields: ParticleIDs, Coordinates, Velocity, Mass, SmoothingLength,
+  Density, Temperature, StarFormationRate, Metallicity,
+  MetalMassWeightedRedshift, ElementAbundance/<FullName>, GroupNumber.
+
+Values are generated in *physical comoving h-full* units (Mpc, Msun, km/s)
+and converted to EAGLE internal units here, so reader tests genuinely
+exercise the unit algebra rather than round-tripping raw numbers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import h5py
+import numpy as np
+
+from .. import constants as C
+from ..data_structures.particle_types import ParticleType
+
+# EAGLE internal-unit conventions (h^-1 Mpc, 1e10 h^-1 Msun, km/s)
+LENGTH_CGS = C.MEGAPARSEC_CGS
+MASS_CGS = 1.989e43  # 1e10 Msun in g, the value EAGLE files carry
+VELOCITY_CGS = 1.0e5
+DENSITY_CGS = MASS_CGS / LENGTH_CGS**3
+TIME_CGS = LENGTH_CGS / VELOCITY_CGS
+ENERGY_CGS = MASS_CGS * VELOCITY_CGS**2
+PRESSURE_CGS = MASS_CGS / LENGTH_CGS / TIME_CGS**2
+MSUN_IN_1E10 = C.SOLAR_MASS_CGS / MASS_CGS  # Msun in internal mass units
+
+ELEMENT_FULL_NAMES = {
+    "H": "Hydrogen", "He": "Helium", "C": "Carbon", "N": "Nitrogen",
+    "O": "Oxygen", "Ne": "Neon", "Mg": "Magnesium", "Si": "Silicon", "Fe": "Iron",
+}
+
+
+@dataclass
+class SyntheticSnapshotSpec:
+    """Parameters for a synthetic EAGLE-format snapshot."""
+
+    box_size_mpc: float = 10.0  # comoving h-full Mpc
+    redshift: float = 0.5
+    hubble_param: float = 0.6777
+    omega_baryon: float = 0.04825
+    n_gas: int = 4096
+    n_dm: int = 4096
+    n_star: int = 512
+    n_bh: int = 8
+    n_files: int = 2
+    snapshot_number: int = 12
+    seed: int = 20240509
+    clustered: bool = False  # add Gaussian blobs over the uniform background
+    solar_metallicity: float = 0.012663729
+    n_groups: int = 8  # FOF groups for GroupNumber / catalogue files
+
+    @property
+    def expansion_factor(self) -> float:
+        return 1.0 / (1.0 + self.redshift)
+
+    @property
+    def tag(self) -> str:
+        zint = int(self.redshift)
+        zdec = int(round((self.redshift - zint) * 1000))
+        return f"{self.snapshot_number:03d}_z{zint:03d}p{zdec:03d}"
+
+
+@dataclass
+class SyntheticParticles:
+    """Ground-truth physical fields (comoving h-full: Mpc, Msun, km/s, K)."""
+
+    positions: dict = field(default_factory=dict)  # (N, 3) Mpc
+    velocities: dict = field(default_factory=dict)  # (N, 3) km/s
+    masses: dict = field(default_factory=dict)  # (N,) Msun
+    smoothing: dict = field(default_factory=dict)  # (N,) Mpc
+    ids: dict = field(default_factory=dict)  # (N,) int64
+    group_numbers: dict = field(default_factory=dict)  # (N,) int32
+    density: Optional[np.ndarray] = None  # gas, Msun/Mpc^3 (comoving h-full)
+    temperature: Optional[np.ndarray] = None  # gas, K
+    sfr: Optional[np.ndarray] = None  # gas, Msun/yr
+    metallicity: dict = field(default_factory=dict)  # gas/star
+    enrichment_z: dict = field(default_factory=dict)
+    abundances: dict = field(default_factory=dict)  # gas/star -> {symbol: (N,)}
+    bh_subgrid_mass: Optional[np.ndarray] = None
+    dm_particle_mass: float = 0.0  # Msun
+    group_centres: Optional[np.ndarray] = None  # (n_groups, 3) Mpc
+
+
+def _positions(rng, n, box, clustered, n_groups, centres):
+    if not clustered:
+        return rng.uniform(0.0, box, (n, 3))
+    n_blob = n // 2
+    base = rng.uniform(0.0, box, (n - n_blob, 3))
+    which = rng.integers(0, n_groups, n_blob)
+    blob = centres[which] + rng.normal(0.0, box * 0.02, (n_blob, 3))
+    return np.concatenate([base, np.mod(blob, box)], axis=0)
+
+
+def generate_particles(spec: SyntheticSnapshotSpec) -> SyntheticParticles:
+    rng = np.random.default_rng(spec.seed)
+    box = spec.box_size_mpc
+    out = SyntheticParticles()
+    out.group_centres = rng.uniform(0.0, box, (spec.n_groups, 3))
+
+    counts = {
+        ParticleType.gas: spec.n_gas,
+        ParticleType.dark_matter: spec.n_dm,
+        ParticleType.star: spec.n_star,
+        ParticleType.black_hole: spec.n_bh,
+    }
+    next_id = 1
+    for pt, n in counts.items():
+        out.positions[pt] = _positions(rng, n, box, spec.clustered, spec.n_groups, out.group_centres)
+        out.velocities[pt] = rng.normal(0.0, 150.0, (n, 3))
+        out.ids[pt] = np.arange(next_id, next_id + n, dtype=np.int64)
+        next_id += n
+        # nearest group assignment with some unbound negatives
+        d = np.linalg.norm(
+            (out.positions[pt][:, None, :] - out.group_centres[None, :, :] + box / 2) % box
+            - box / 2,
+            axis=2,
+        )
+        nearest = np.argmin(d, axis=1).astype(np.int32) + 1
+        near = d[np.arange(n), nearest - 1] < box * 0.08
+        gn = np.where(near, nearest, 2**30)
+        unbound = near & (rng.random(n) < 0.1)
+        gn = np.where(unbound, -nearest, gn)
+        out.group_numbers[pt] = gn.astype(np.int32)
+
+    mean_ips = box / max(spec.n_gas, 1) ** (1.0 / 3.0)
+    for pt in (ParticleType.gas, ParticleType.star, ParticleType.black_hole):
+        n = counts[pt]
+        out.smoothing[pt] = mean_ips * 10.0 ** rng.uniform(-0.3, 0.5, n)
+        out.masses[pt] = 10.0 ** rng.uniform(5.8, 6.4, n)  # Msun
+
+    out.dm_particle_mass = 6.57e6  # Msun
+    out.masses[ParticleType.dark_matter] = np.full(spec.n_dm, out.dm_particle_mass)
+
+    ng = spec.n_gas
+    out.density = 10.0 ** rng.uniform(8.0, 13.0, ng)  # Msun/Mpc^3
+    out.temperature = 10.0 ** rng.uniform(3.5, 7.5, ng)
+    out.sfr = np.where(rng.random(ng) < 0.1, 10.0 ** rng.uniform(-3, 0, ng), 0.0)
+    out.bh_subgrid_mass = 10.0 ** rng.uniform(5.0, 7.0, spec.n_bh)
+
+    for pt in (ParticleType.gas, ParticleType.star):
+        n = counts[pt]
+        out.metallicity[pt] = 10.0 ** rng.uniform(-4.0, -1.5, n)
+        out.enrichment_z[pt] = rng.uniform(spec.redshift, 10.0, n)
+        ab = {}
+        ab["H"] = rng.uniform(0.70, 0.76, n)
+        ab["He"] = 1.0 - ab["H"] - out.metallicity[pt]
+        for sym in ("C", "N", "O", "Ne", "Mg", "Si", "Fe"):
+            ab[sym] = out.metallicity[pt] * rng.uniform(0.01, 0.3, n)
+        out.abundances[pt] = ab
+    return out
+
+
+def write_snapshot(
+    directory: str, spec: SyntheticSnapshotSpec, particles: Optional[SyntheticParticles] = None
+) -> tuple[str, SyntheticParticles]:
+    """Write a multi-file EAGLE-format snapshot; returns (first file path, truth)."""
+    p = particles or generate_particles(spec)
+    h = spec.hubble_param
+    a = spec.expansion_factor
+    tag = spec.tag
+    snap_dir = os.path.join(directory, f"snapshot_{tag}")
+    os.makedirs(snap_dir, exist_ok=True)
+
+    counts = {pt: len(p.ids[pt]) for pt in ParticleType.get_all()}
+    num_part_total = np.zeros(6, dtype=np.int64)
+    for pt in ParticleType.get_all():
+        num_part_total[pt.value] = counts[pt]
+
+    # physical (comoving h-full) -> internal raw: raw = phys / (h^h_exp * cgs)
+    def to_internal_length(mpc):  # h_exp = -1
+        return mpc * h  # internal h^-1 Mpc
+
+    def to_internal_mass(msun):  # h_exp = -1
+        return msun * h * MSUN_IN_1E10
+
+    def to_internal_velocity(kms):  # h_exp = 0, a_exp = 0.5: raw = phys / a^0.5...
+        # comoving user value uses a_exp=0, so raw = phys directly in km/s
+        return kms
+
+    def to_internal_density(msun_mpc3):  # h_exp = +2
+        return msun_mpc3 / h**2 * (C.SOLAR_MASS_CGS / C.MEGAPARSEC_CGS**3) / DENSITY_CGS
+
+    # split particles across files
+    splits = {}
+    for pt in ParticleType.get_all():
+        n = counts[pt]
+        edges = np.linspace(0, n, spec.n_files + 1).astype(int)
+        splits[pt] = [(edges[i], edges[i + 1]) for i in range(spec.n_files)]
+
+    def attrs(ds, h_exp, a_exp, cgs):
+        ds.attrs["h-scale-exponent"] = float(h_exp)
+        ds.attrs["aexp-scale-exponent"] = float(a_exp)
+        ds.attrs["CGSConversionFactor"] = float(cgs)
+
+    first_path = None
+    for fi in range(spec.n_files):
+        path = os.path.join(snap_dir, f"snap_{tag}.{fi}.hdf5")
+        if fi == 0:
+            first_path = path
+        with h5py.File(path, "w") as f:
+            hdr = f.create_group("Header")
+            hdr.attrs["Redshift"] = spec.redshift
+            hdr.attrs["HubbleParam"] = h
+            hdr.attrs["ExpansionFactor"] = a
+            hdr.attrs["OmegaBaryon"] = spec.omega_baryon
+            hdr.attrs["Omega0"] = 0.307
+            hdr.attrs["NumPart_Total"] = num_part_total
+            hdr.attrs["NumPart_ThisFile"] = _num_this_file(splits, fi)
+            hdr.attrs["NumFilesPerSnapshot"] = spec.n_files
+            mass_table = np.zeros(6, dtype=np.float64)
+            mass_table[1] = to_internal_mass(p.dm_particle_mass)
+            hdr.attrs["MassTable"] = mass_table
+            hdr.attrs["BoxSize"] = to_internal_length(spec.box_size_mpc)
+
+            const = f.create_group("Constants")
+            const.attrs["Z_Solar"] = spec.solar_metallicity
+
+            units = f.create_group("Units")
+            units.attrs["UnitLength_in_cm"] = LENGTH_CGS
+            units.attrs["UnitMass_in_g"] = MASS_CGS
+            units.attrs["UnitVelocity_in_cm_per_s"] = VELOCITY_CGS
+            units.attrs["UnitDensity_in_cgs"] = DENSITY_CGS
+            units.attrs["UnitEnergy_in_cgs"] = ENERGY_CGS
+            units.attrs["UnitPressure_in_cgs"] = PRESSURE_CGS
+            units.attrs["UnitTime_in_s"] = TIME_CGS
+
+            for pt in ParticleType.get_all():
+                i0, i1 = splits[pt][fi]
+                g = f.create_group(pt.common_hdf5_name)
+                g.create_dataset("ParticleIDs", data=p.ids[pt][i0:i1])
+                ds = g.create_dataset(
+                    "Coordinates", data=to_internal_length(p.positions[pt][i0:i1])
+                )
+                attrs(ds, -1.0, 1.0, LENGTH_CGS)
+                ds = g.create_dataset(
+                    "Velocity", data=to_internal_velocity(p.velocities[pt][i0:i1])
+                )
+                attrs(ds, 0.0, 0.5, VELOCITY_CGS)
+                ds = g.create_dataset("GroupNumber", data=p.group_numbers[pt][i0:i1])
+
+                if pt != ParticleType.dark_matter:
+                    ds = g.create_dataset("Mass", data=to_internal_mass(p.masses[pt][i0:i1]))
+                    attrs(ds, -1.0, 0.0, MASS_CGS)
+                    ds = g.create_dataset(
+                        "SmoothingLength", data=to_internal_length(p.smoothing[pt][i0:i1])
+                    )
+                    attrs(ds, -1.0, 1.0, LENGTH_CGS)
+
+                if pt == ParticleType.black_hole:
+                    ds = g.create_dataset(
+                        "BH_Mass", data=to_internal_mass(p.bh_subgrid_mass[i0:i1])
+                    )
+                    attrs(ds, -1.0, 0.0, MASS_CGS)
+
+                if pt == ParticleType.gas:
+                    ds = g.create_dataset(
+                        "Density", data=to_internal_density(p.density[i0:i1])
+                    )
+                    attrs(ds, 2.0, -3.0, DENSITY_CGS)
+                    ds = g.create_dataset("Temperature", data=p.temperature[i0:i1])
+                    attrs(ds, 0.0, 0.0, 1.0)
+                    ds = g.create_dataset("StarFormationRate", data=p.sfr[i0:i1])
+                    attrs(ds, 0.0, 0.0, C.SOLAR_MASS_CGS / C.YEAR_CGS)
+
+                if pt in (ParticleType.gas, ParticleType.star):
+                    ds = g.create_dataset("Metallicity", data=p.metallicity[pt][i0:i1])
+                    attrs(ds, 0.0, 0.0, 1.0)
+                    ds = g.create_dataset(
+                        "MetalMassWeightedRedshift", data=p.enrichment_z[pt][i0:i1]
+                    )
+                    attrs(ds, 0.0, 0.0, 1.0)
+                    ab = g.create_group("ElementAbundance")
+                    for sym, full in ELEMENT_FULL_NAMES.items():
+                        ab.create_dataset(full, data=p.abundances[pt][sym][i0:i1])
+    return first_path, p
+
+
+def _num_this_file(splits, fi) -> np.ndarray:
+    """NumPart_ThisFile vector over the 6 HDF5 particle slots."""
+    out = np.zeros(6, dtype=np.int64)
+    for pt, sl in splits.items():
+        out[pt.value] = sl[fi][1] - sl[fi][0]
+    return out
+
+
+def write_catalogue(
+    directory: str,
+    spec: SyntheticSnapshotSpec,
+    particles: SyntheticParticles,
+) -> tuple[str, str]:
+    """Write SUBFIND-style membership + properties file sets.
+
+    Schema per `_CatalogueSUBFIND.py:66-104`: membership files
+    (``eagle_subfind_particles_<tag>/eagle_subfind_particles_<tag>.K.hdf5``)
+    carry Header/NumPart_ThisFile + per-type IDs/GroupNumber; properties files
+    (``groups_<tag>/eagle_subfind_tab_<tag>.K.hdf5``) carry FOF group fields
+    with h/a/CGS attrs.
+    """
+    h = spec.hubble_param
+    tag = spec.tag
+    n_groups = spec.n_groups
+    rng = np.random.default_rng(spec.seed + 1)
+
+    memb_dir = os.path.join(directory, f"particledata_{tag}")
+    prop_dir = os.path.join(directory, f"groups_{tag}")
+    os.makedirs(memb_dir, exist_ok=True)
+    os.makedirs(prop_dir, exist_ok=True)
+
+    # membership: bound particles (positive group number), sorted by group
+    memb_path = os.path.join(memb_dir, f"eagle_subfind_particles_{tag}.0.hdf5")
+    with h5py.File(memb_path, "w") as f:
+        hdr = f.create_group("Header")
+        num_this = np.zeros(6, dtype=np.int64)
+        for pt in ParticleType.get_all():
+            bound = particles.group_numbers[pt] > 0
+            bound &= particles.group_numbers[pt] < 2**30
+            num_this[pt.value] = int(bound.sum())
+        hdr.attrs["NumPart_ThisFile"] = num_this
+        hdr.attrs["NumFilesPerSnapshot"] = 1
+        hdr.attrs["HubbleParam"] = h
+        hdr.attrs["Redshift"] = spec.redshift
+        hdr.attrs["ExpansionFactor"] = spec.expansion_factor
+        for pt in ParticleType.get_all():
+            gn = particles.group_numbers[pt]
+            bound = (gn > 0) & (gn < 2**30)
+            order = np.argsort(gn[bound], kind="stable")
+            g = f.create_group(pt.common_hdf5_name)
+            ds = g.create_dataset("ParticleIDs", data=particles.ids[pt][bound][order])
+            ds.attrs["h-scale-exponent"] = 0.0
+            ds.attrs["aexp-scale-exponent"] = 0.0
+            ds.attrs["CGSConversionFactor"] = 1.0
+            ds = g.create_dataset("GroupNumber", data=gn[bound][order])
+            ds.attrs["h-scale-exponent"] = 0.0
+            ds.attrs["aexp-scale-exponent"] = 0.0
+            ds.attrs["CGSConversionFactor"] = 1.0
+
+    # properties: FOF group table
+    prop_path = os.path.join(prop_dir, f"eagle_subfind_tab_{tag}.0.hdf5")
+    centres = particles.group_centres
+    masses = 10.0 ** rng.uniform(11.0, 13.0, n_groups)  # Msun
+    with h5py.File(prop_path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr.attrs["TotNgroups"] = n_groups
+        hdr.attrs["HubbleParam"] = h
+        hdr.attrs["Redshift"] = spec.redshift
+        hdr.attrs["ExpansionFactor"] = spec.expansion_factor
+        hdr.attrs["NumFilesPerSnapshot"] = 1
+        fof = f.create_group("FOF")
+        fof.attrs["Ngroups"] = n_groups
+
+        def mk(name, phys, h_exp, a_exp, cgs, internal):
+            ds = fof.create_dataset(name, data=internal)
+            ds.attrs["h-scale-exponent"] = float(h_exp)
+            ds.attrs["aexp-scale-exponent"] = float(a_exp)
+            ds.attrs["CGSConversionFactor"] = float(cgs)
+
+        mk("GroupCentreOfPotential", centres, -1.0, 1.0, LENGTH_CGS, centres * h)
+        mk("GroupMass", masses, -1.0, 0.0, MASS_CGS, masses * h * MSUN_IN_1E10)
+        for suffix, factor in [("Crit200", 1.0), ("Crit500", 0.7), ("Crit2500", 0.4),
+                               ("Mean200", 1.2), ("Mean500", 0.8), ("TopHat200", 1.1)]:
+            gm = masses * factor
+            mk(f"Group_M_{suffix}", gm, -1.0, 0.0, MASS_CGS, gm * h * MSUN_IN_1E10)
+            gr = (masses / 1.0e12) ** (1 / 3) * 0.2 * factor  # Mpc
+            mk(f"Group_R_{suffix}", gr, -1.0, 1.0, LENGTH_CGS, gr * h)
+    return memb_path, prop_path

@@ -24,6 +24,11 @@ import pytest  # noqa: E402
 # are slow; cache them across test sessions.
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides JAX_PLATFORMS (config becomes "axon,cpu"), so
+# pin the platform explicitly — tests must run on the 8-device virtual CPU
+# mesh, never on the (single, shared) TPU chip.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

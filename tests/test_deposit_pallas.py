@@ -1,0 +1,111 @@
+"""Pallas fused deposit vs dense oracle (interpret mode on CPU).
+
+Compiled-mode fidelity/throughput is exercised on real TPU hardware by
+bench.py; these tests pin the kernel's numerics via the Pallas interpreter.
+"""
+
+import numpy as np
+import pytest
+
+from astro_sph_tools_tpu.ops.deposit import MapSpec
+from astro_sph_tools_tpu.ops.deposit_pallas import (
+    PALLAS_LEVELS,
+    deposit_2d_auto,
+    deposit_2d_pallas,
+)
+from oracles import project_oracle
+
+
+def rel_err(got, expected):
+    return np.abs(got - expected).max() / np.abs(expected).max()
+
+
+def particles(rng, n, box, h_lo, h_hi):
+    return (
+        rng.uniform(0, box, n),
+        rng.uniform(0, box, n),
+        rng.uniform(h_lo, h_hi, n),
+        rng.uniform(0.5, 2.0, n),
+    )
+
+
+class TestPallasDeposit:
+    def test_k8_matches_oracle(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+        px = box / 64
+        x, y, h, m = particles(rng, 2000, box, 0.5 * px, 1.4 * px)
+        got = np.asarray(deposit_2d_pallas(x, y, h, m, spec, precision="f32"))
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        assert rel_err(got, expected) < 1e-5
+
+    def test_bf16x2_within_budget(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+        px = box / 64
+        x, y, h, m = particles(rng, 2000, box, 0.5 * px, 1.4 * px)
+        got = np.asarray(deposit_2d_pallas(x, y, h, m, spec, precision="bf16x2"))
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        assert rel_err(got, expected) < 1e-5
+
+    def test_k16_level(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+        px = box / 64
+        x, y, h, m = particles(rng, 1000, box, 1.6 * px, 3.4 * px)
+        got = np.asarray(
+            deposit_2d_pallas(x, y, h, m, spec, precision="f32", level=PALLAS_LEVELS[1])
+        )
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        assert rel_err(got, expected) < 1e-5
+
+    def test_multifield(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(32, 32), extent=(0.0, box, 0.0, box))
+        px = box / 32
+        x, y, h, m = particles(rng, 800, box, 0.5 * px, 1.3 * px)
+        t = rng.uniform(1e4, 1e6, 800)
+        fields = np.stack([m, m * t], axis=0)  # (F, N)
+        got = np.asarray(deposit_2d_pallas(x, y, h, fields, spec, precision="f32"))
+        assert got.shape == (2, 32, 32)
+        exp_m = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        exp_mt = project_oracle(x, y, h, m * t, spec.shape, spec.extent)
+        assert rel_err(got[0], exp_m) < 1e-5
+        assert rel_err(got[1], exp_mt) < 1e-5
+
+    def test_periodic(self, rng):
+        box = 8.0
+        # 64 cols: periodic needs tx | nx; level K=8 default tx=120 -> falls to 64
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box), periodic_wrap=True)
+        px = box / 64
+        n = 600
+        x = rng.uniform(0, box, n)
+        y = rng.uniform(0, box, n)
+        x[:60] = rng.uniform(0, 0.1, 60)  # edge hugging
+        h = rng.uniform(0.8, 1.4, n) * px
+        m = np.ones(n)
+        got = np.asarray(deposit_2d_pallas(x, y, h, m, spec, precision="f32"))
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent, periodic=True)
+        assert rel_err(got, expected) < 1e-5
+
+    def test_auto_mixed_footprints(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+        px = box / 64
+        n = 1500
+        x = rng.uniform(0, box, n)
+        y = rng.uniform(0, box, n)
+        h = 10.0 ** rng.uniform(-0.3, 1.2, n) * px  # spans K=8..32 + oversize
+        m = rng.uniform(0.5, 2.0, n)
+        got = np.asarray(deposit_2d_auto(x, y, h, m, spec, precision="f32"))
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        assert rel_err(got, expected) < 1e-5
+
+    def test_empty_level_and_corner_origin(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(32, 32), extent=(0.0, box, 0.0, box), pixel_origin="corner")
+        px = box / 32
+        x, y, h, m = particles(rng, 500, box, 0.5 * px, 1.3 * px)
+        got = np.asarray(deposit_2d_pallas(x, y, h, m, spec, precision="f32"))
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent, pixel_origin="corner")
+        assert rel_err(got, expected) < 1e-5

@@ -1,0 +1,234 @@
+"""Golden-file IO tests: synthetic EAGLE-schema snapshots -> SnapshotEAGLE.
+
+The generator writes *physical* truth converted to EAGLE internal units; the
+reader must recover the truth through the h/a/CGS algebra
+(_SnapshotEAGLE.py:422-453), proving the unit pipeline end to end.
+"""
+
+import numpy as np
+import pytest
+
+from astro_sph_tools_tpu.data_structures import ParticleType
+from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+from astro_sph_tools_tpu.io.errors import SnapshotFormatError
+from astro_sph_tools_tpu.io.synthetic import (
+    SyntheticSnapshotSpec,
+    generate_particles,
+    write_snapshot,
+)
+
+
+@pytest.fixture(scope="module")
+def snapshot(tmp_path_factory):
+    spec = SyntheticSnapshotSpec(n_gas=2048, n_dm=2048, n_star=256, n_bh=8, n_files=3)
+    root = tmp_path_factory.mktemp("eagle_sim")
+    path, truth = write_snapshot(str(root), spec)
+    return SnapshotEAGLE(path), truth, spec
+
+
+class TestHeader:
+    def test_metadata(self, snapshot):
+        snap, truth, spec = snapshot
+        assert snap.redshift == pytest.approx(spec.redshift)
+        assert snap.h == pytest.approx(spec.hubble_param)
+        assert snap.a == pytest.approx(spec.expansion_factor)
+        assert snap.omega_baryon == pytest.approx(spec.omega_baryon)
+        assert not snap.is_snipshot
+        assert snap.number == f"{spec.snapshot_number:03d}"
+
+    def test_box_size_mpc(self, snapshot):
+        snap, truth, spec = snapshot
+        np.testing.assert_allclose(snap.box_size.value, spec.box_size_mpc, rtol=1e-10)
+
+    def test_counts(self, snapshot):
+        snap, truth, spec = snapshot
+        assert snap.number_of_particles(ParticleType.gas) == spec.n_gas
+        assert snap.number_of_particles(ParticleType.dark_matter) == spec.n_dm
+        assert snap.number_of_particles_this_rank(ParticleType.gas) == spec.n_gas
+
+    def test_bad_path_rejected(self, tmp_path):
+        with pytest.raises(SnapshotFormatError):
+            SnapshotEAGLE(str(tmp_path / "not_a_snapshot.hdf5"))
+
+
+class TestFieldRecovery:
+    """Reader output must equal the physical truth (comoving h-full Mpc etc.)."""
+
+    def test_ids_int64(self, snapshot):
+        snap, truth, _ = snapshot
+        ids = snap.get_IDs(ParticleType.gas)
+        assert ids.dtype == np.int64
+        np.testing.assert_array_equal(np.sort(ids), np.sort(truth.ids[ParticleType.gas]))
+
+    def test_positions_mpc(self, snapshot):
+        snap, truth, _ = snapshot
+        pos = snap.get_positions(ParticleType.gas)
+        np.testing.assert_allclose(pos.value, truth.positions[ParticleType.gas], rtol=1e-10)
+
+    def test_proper_positions(self, snapshot):
+        snap, truth, spec = snapshot
+        pos = snap.get_positions(ParticleType.gas, use_proper_units=True)
+        np.testing.assert_allclose(
+            pos.value, truth.positions[ParticleType.gas] * spec.expansion_factor, rtol=1e-10
+        )
+
+    def test_masses_msun(self, snapshot):
+        snap, truth, _ = snapshot
+        m = snap.get_masses(ParticleType.gas)
+        np.testing.assert_allclose(m.value, truth.masses[ParticleType.gas], rtol=1e-6)
+
+    def test_dm_constant_masses(self, snapshot):
+        snap, truth, spec = snapshot
+        m = snap.get_masses(ParticleType.dark_matter)
+        assert m.shape == (spec.n_dm,)
+        np.testing.assert_allclose(m.value, truth.dm_particle_mass, rtol=1e-6)
+
+    def test_bh_masses_split(self, snapshot):
+        snap, truth, _ = snapshot
+        with pytest.raises(ValueError):
+            snap.get_masses(ParticleType.black_hole)
+        sub = snap.get_black_hole_subgrid_masses()
+        dyn = snap.get_black_hole_dynamical_masses()
+        np.testing.assert_allclose(sub.value, truth.bh_subgrid_mass, rtol=1e-6)
+        np.testing.assert_allclose(dyn.value, truth.masses[ParticleType.black_hole], rtol=1e-6)
+
+    def test_velocities(self, snapshot):
+        snap, truth, _ = snapshot
+        v = snap.get_velocities(ParticleType.dark_matter)
+        np.testing.assert_allclose(v.value, truth.velocities[ParticleType.dark_matter], rtol=1e-10)
+
+    def test_smoothing_lengths(self, snapshot):
+        snap, truth, _ = snapshot
+        hs = snap.get_smoothing_lengths(ParticleType.gas)
+        np.testing.assert_allclose(hs.value, truth.smoothing[ParticleType.gas], rtol=1e-10)
+
+    def test_density(self, snapshot):
+        snap, truth, _ = snapshot
+        rho = snap.get_densities(ParticleType.gas)
+        np.testing.assert_allclose(rho.value, truth.density, rtol=1e-6)
+
+    def test_temperature_gas_only(self, snapshot):
+        snap, truth, _ = snapshot
+        t = snap.get_temperatures(ParticleType.gas)
+        np.testing.assert_allclose(t.value, truth.temperature, rtol=1e-10)
+        with pytest.raises(ValueError):
+            snap.get_temperatures(ParticleType.star)
+
+    def test_sfr(self, snapshot):
+        snap, truth, _ = snapshot
+        sfr = snap.get_sfr()
+        np.testing.assert_allclose(sfr.value, truth.sfr, rtol=1e-6, atol=1e-12)
+
+    def test_metallicity_and_solar(self, snapshot):
+        snap, truth, spec = snapshot
+        z = snap.get_metallicities(ParticleType.gas)
+        np.testing.assert_allclose(z.value, truth.metallicity[ParticleType.gas], rtol=1e-10)
+        zsol = snap.get_metallicities(ParticleType.gas, solar_units=True)
+        np.testing.assert_allclose(
+            zsol.value, truth.metallicity[ParticleType.gas] / spec.solar_metallicity, rtol=1e-10
+        )
+
+    def test_abundance(self, snapshot):
+        snap, truth, _ = snapshot
+        fe = snap.get_elemental_abundance(ParticleType.gas, "Fe")
+        np.testing.assert_allclose(
+            fe.value, truth.abundances[ParticleType.gas]["Fe"], rtol=1e-10
+        )
+        with pytest.raises(ValueError):
+            snap.get_elemental_abundance(ParticleType.gas, "U")
+
+    def test_number_density(self, snapshot):
+        """n_H = rho_cgs * X_H / (1.008 * 1.661e-24) in cm^-3."""
+        from astro_sph_tools_tpu import constants as C
+
+        snap, truth, _ = snapshot
+        n_h = snap.get_number_densities(ParticleType.gas, "H")
+        rho_cgs = truth.density * C.SOLAR_MASS_CGS / C.MEGAPARSEC_CGS**3
+        expected = rho_cgs * truth.abundances[ParticleType.gas]["H"] / (
+            C.ATOMIC_WEIGHTS["H"] * C.ATOMIC_MASS_UNIT_CGS_REFERENCE
+        )
+        np.testing.assert_allclose(n_h.value, expected, rtol=1e-6)
+
+    def test_mean_enrichment_redshift(self, snapshot):
+        snap, truth, _ = snapshot
+        ez = snap.get_mean_enrichment_redshift(ParticleType.star)
+        np.testing.assert_allclose(ez.value, truth.enrichment_z[ParticleType.star], rtol=1e-10)
+
+    def test_volumes_formula(self, snapshot):
+        """Default volume = h^3 * pi * 4/3 (the reference's literal formula)."""
+        snap, truth, _ = snapshot
+        vol = snap.get_volumes(ParticleType.gas)
+        h = truth.smoothing[ParticleType.gas]
+        np.testing.assert_allclose(vol.value, h**3 * np.pi * (4 / 3), rtol=1e-9)
+
+
+class TestGroupNumbers:
+    def test_group_id_semantics(self, snapshot):
+        snap, truth, _ = snapshot
+        raw = truth.group_numbers[ParticleType.gas]
+        gid = snap.get_group_ID(ParticleType.gas)
+        unbound = raw < 0
+        np.testing.assert_array_equal(gid[unbound], SnapshotEAGLE.EAGLE_MAX_GROUP_NUMBER)
+        np.testing.assert_array_equal(gid[~unbound], raw[~unbound])
+        gid_inc = snap.get_group_ID(ParticleType.gas, include_nearby_unattached_particles=True)
+        np.testing.assert_array_equal(gid_inc[unbound], -raw[unbound])
+
+    def test_group_index(self, snapshot):
+        snap, truth, _ = snapshot
+        raw = truth.group_numbers[ParticleType.gas]
+        gidx = snap.get_group_index(ParticleType.gas)
+        member = (raw > 0) & (raw < 2**30)
+        np.testing.assert_array_equal(gidx[member], raw[member] - 1)
+        np.testing.assert_array_equal(gidx[raw == 2**30], -1)
+
+
+class TestRegionRestriction:
+    def test_plain_region(self, tmp_path):
+        spec = SyntheticSnapshotSpec(n_gas=2000, n_dm=10, n_star=10, n_bh=2, n_files=2)
+        path, truth = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        snap.restrict_data_comoving_loading_region(2.0, 5.0, 1.0, 9.0, 0.0, 10.0)
+        pos = snap.get_positions(ParticleType.gas).value
+        assert len(pos) > 0
+        assert (pos[:, 0] >= 2.0).all() and (pos[:, 0] < 5.0).all()
+        assert (pos[:, 1] >= 1.0).all() and (pos[:, 1] < 9.0).all()
+        p = truth.positions[ParticleType.gas]
+        expected = (
+            (p[:, 0] >= 2.0) & (p[:, 0] < 5.0) & (p[:, 1] >= 1.0) & (p[:, 1] < 9.0)
+        ).sum()
+        assert len(pos) == expected
+        assert snap.number_of_particles_this_rank(ParticleType.gas) == expected
+
+    def test_wrapped_region(self, tmp_path):
+        """Inverted range crosses the periodic boundary (x in [9, 1))."""
+        spec = SyntheticSnapshotSpec(n_gas=2000, n_dm=10, n_star=10, n_bh=2, n_files=1)
+        path, truth = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        snap.restrict_data_comoving_loading_region(9.0, 11.0, 0.0, 10.0, 0.0, 10.0)
+        pos = snap.get_positions(ParticleType.gas).value
+        assert ((pos[:, 0] >= 9.0) | (pos[:, 0] < 1.0)).all()
+        p = truth.positions[ParticleType.gas]
+        expected = ((p[:, 0] >= 9.0) | (p[:, 0] < 1.0)).sum()
+        assert len(pos) == expected
+
+    def test_clear_restriction(self, tmp_path):
+        spec = SyntheticSnapshotSpec(n_gas=500, n_dm=10, n_star=10, n_bh=2, n_files=1)
+        path, _ = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        snap.restrict_data_comoving_loading_region(0.0, 1.0, 0.0, 10.0, 0.0, 10.0)
+        n_restricted = snap.number_of_particles_this_rank(ParticleType.gas)
+        snap.clear_region_restriction()
+        assert snap.number_of_particles_this_rank(ParticleType.gas) == 500
+        assert n_restricted < 500
+
+
+class TestMultiProcessSplit:
+    def test_file_split_partitions(self, tmp_path):
+        spec = SyntheticSnapshotSpec(n_gas=1000, n_dm=10, n_star=10, n_bh=2, n_files=4)
+        path, truth = write_snapshot(str(tmp_path), spec)
+        all_ids = []
+        for r in range(2):
+            snap = SnapshotEAGLE(path, process_index=r, n_processes=2)
+            all_ids.append(snap.get_IDs(ParticleType.gas))
+        combined = np.sort(np.concatenate(all_ids))
+        np.testing.assert_array_equal(combined, np.sort(truth.ids[ParticleType.gas]))
