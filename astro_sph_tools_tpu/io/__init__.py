@@ -1,1 +1,58 @@
-"""astro_sph_tools_tpu.io"""
+"""IO layer: snapshot/catalogue/LOS data models and format backends.
+
+Mirrors the reference's ``io`` package surface (`io/__init__.py:5-10`):
+errors, abstract data structures, EAGLE backend, ionisation tables — plus
+the SWIFT/TNG backends (working here, unlike the reference's broken ones)
+and the synthetic fixture generator.
+"""
+
+from . import errors
+from .catalogue import (
+    BasicHaloDefinitions,
+    CatalogueBase,
+    CriticalSphericalOverdensityAperture,
+    FixedRadiusAperture,
+    FOFGroup,
+    IApertureHalo,
+    IHaloDefinition,
+    MeanSphericalOverdensityAperture,
+    SphericalOverdensityAperture,
+    TopHatSphericalOverdensityAperture,
+)
+from .eagle import EAGLE_MAX_GROUP_NUMBER, SnapshotEAGLE
+from .filetree import FileSetLeaf, FileTreeScraper_EAGLE, FileTreeScraperBase, TaggedFileSet
+from .los import (
+    LineOfSightBase,
+    LineOfSightEAGLE,
+    LineOfSightFileBase,
+    LineOfSightFileEAGLE,
+    LineOfSightFileSWIFT,
+)
+from .snapshot import SnapshotBase
+from .subfind import CatalogueSUBFIND
+
+__all__ = [
+    "errors",
+    "BasicHaloDefinitions",
+    "CatalogueBase",
+    "CatalogueSUBFIND",
+    "CriticalSphericalOverdensityAperture",
+    "EAGLE_MAX_GROUP_NUMBER",
+    "FileSetLeaf",
+    "FileTreeScraperBase",
+    "FileTreeScraper_EAGLE",
+    "FixedRadiusAperture",
+    "FOFGroup",
+    "IApertureHalo",
+    "IHaloDefinition",
+    "LineOfSightBase",
+    "LineOfSightEAGLE",
+    "LineOfSightFileBase",
+    "LineOfSightFileEAGLE",
+    "LineOfSightFileSWIFT",
+    "MeanSphericalOverdensityAperture",
+    "SnapshotBase",
+    "SnapshotEAGLE",
+    "SphericalOverdensityAperture",
+    "TopHatSphericalOverdensityAperture",
+]

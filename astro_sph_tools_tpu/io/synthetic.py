@@ -303,6 +303,93 @@ def _num_this_file(splits, fi) -> np.ndarray:
     return out
 
 
+def write_los_file(
+    directory: str,
+    spec: SyntheticSnapshotSpec,
+    n_sightlines: int = 4,
+    particles_per_los: int = 200,
+    seed: Optional[int] = None,
+) -> tuple[str, dict]:
+    """Write an EAGLE-format ``part_los_zXpY.hdf5`` file + physical truth.
+
+    Schema per `_LineOfSightEAGLE.py:29-39,72-90`: Header attrs incl.
+    Number_of_sight_lines; per-``LOS{i}`` group attrs (particle count, axis
+    indices, x/y position in h^-1 Mpc) and datasets (Positions, Velocity,
+    Mass, Metallicity, Temperature, Density, SmoothingLength) with
+    h/a/CGS attrs.
+    """
+    rng = np.random.default_rng(seed if seed is not None else spec.seed + 7)
+    h = spec.hubble_param
+    box = spec.box_size_mpc
+    zint = int(spec.redshift)
+    zdec = int(round((spec.redshift - zint) * 1000))
+    path = os.path.join(directory, f"part_los_z{zint}p{zdec:03d}.hdf5")
+
+    truth: dict = {"sightlines": []}
+    with h5py.File(path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr.attrs["Redshift"] = spec.redshift
+        hdr.attrs["ExpansionFactor"] = spec.expansion_factor
+        hdr.attrs["HubbleParam"] = h
+        hdr.attrs["Number_of_sight_lines"] = n_sightlines
+        hdr.attrs["BoxSize"] = box * h
+
+        def attrs(ds, h_exp, a_exp, cgs):
+            ds.attrs["h-scale-exponent"] = float(h_exp)
+            ds.attrs["aexp-scale-exponent"] = float(a_exp)
+            ds.attrs["CGSConversionFactor"] = float(cgs)
+
+        for i in range(n_sightlines):
+            n = particles_per_los
+            g = f.create_group(f"LOS{i}")
+            # project along z with x/y in-plane (axis indices 0,1,2)
+            xpos_mpc = rng.uniform(0, box)
+            ypos_mpc = rng.uniform(0, box)
+            g.attrs["Number_of_part_this_los"] = n
+            g.attrs["x-axis"] = 0
+            g.attrs["y-axis"] = 1
+            g.attrs["z-axis"] = 2
+            g.attrs["x-position"] = xpos_mpc * h  # h^-1 Mpc on disk
+            g.attrs["y-position"] = ypos_mpc * h
+
+            pos = rng.uniform(0, box, (n, 3))  # comoving Mpc truth
+            pos[:, 0] = xpos_mpc + rng.normal(0, 0.05, n)
+            pos[:, 1] = ypos_mpc + rng.normal(0, 0.05, n)
+            vel = rng.normal(0, 120.0, (n, 3))
+            mass = 10.0 ** rng.uniform(5.8, 6.4, n)
+            dens = 10.0 ** rng.uniform(8, 13, n)
+            temp = 10.0 ** rng.uniform(3.5, 7.0, n)
+            metal = 10.0 ** rng.uniform(-4, -2, n)
+            hsml = 10.0 ** rng.uniform(-2, -1, n)
+
+            ds = g.create_dataset("Positions", data=pos * h)
+            attrs(ds, -1.0, 1.0, LENGTH_CGS)
+            ds = g.create_dataset("Velocity", data=vel)
+            attrs(ds, 0.0, 0.5, VELOCITY_CGS)
+            ds = g.create_dataset("Mass", data=mass * h * MSUN_IN_1E10)
+            attrs(ds, -1.0, 0.0, MASS_CGS)
+            ds = g.create_dataset("Metallicity", data=metal)
+            attrs(ds, 0.0, 0.0, 1.0)
+            ds = g.create_dataset("Temperature", data=temp)
+            attrs(ds, 0.0, 0.0, 1.0)
+            ds = g.create_dataset(
+                "Density",
+                data=dens / spec.hubble_param**2
+                * (C.SOLAR_MASS_CGS / C.MEGAPARSEC_CGS**3) / DENSITY_CGS,
+            )
+            attrs(ds, 2.0, -3.0, DENSITY_CGS)
+            ds = g.create_dataset("SmoothingLength", data=hsml * h)
+            attrs(ds, -1.0, 1.0, LENGTH_CGS)
+
+            truth["sightlines"].append(
+                dict(
+                    x=xpos_mpc, y=ypos_mpc, positions=pos, velocities=vel, masses=mass,
+                    density=dens, temperature=temp, metallicity=metal, smoothing=hsml,
+                )
+            )
+    return path, truth
+
+
 def write_catalogue(
     directory: str,
     spec: SyntheticSnapshotSpec,
