@@ -1,0 +1,105 @@
+"""Benchmark: particle deposits/sec onto a 1024^2 multi-field map (north star).
+
+Runs on whatever accelerator JAX finds (the driver runs it on one real TPU
+chip). Workload: BASELINE config-2 shaped — synthetic snapshot-scale particle
+set, adaptive-ish smoothing lengths sized to the K=8 Pallas level, 1024^2
+map, 2-field stack (surface density + mass-weighted quantity), fused Pallas
+deposit (split-bf16 precision, <=1e-5 fidelity class).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "deposits/sec", "vs_baseline": N, ...}
+
+vs_baseline is measured against the north-star requirement of
+1e9 particles -> 1024^2 maps in < 2 s on a v5e-8, i.e. 6.25e7
+particle-deposits/sec *per chip* (BASELINE.md; the reference itself publishes
+no numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR_DEPOSITS_PER_SEC_PER_CHIP = 1.0e9 / 2.0 / 8.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from astro_sph_tools_tpu.ops.deposit import MapSpec
+    from astro_sph_tools_tpu.ops.deposit_pallas import (
+        PALLAS_LEVELS,
+        deposit_2d_pallas,
+    )
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    n = 1 << (25 if on_tpu else 16)  # 33.5M on TPU, small on CPU smoke runs
+
+    box = 25.0
+    shape = (1024, 1024) if on_tpu else (256, 256)
+    spec = MapSpec(shape=shape, extent=(0.0, box, 0.0, box))
+    px = box / shape[0]
+
+    key = jax.random.PRNGKey(7)
+    kx, ky, kh, km, kt = jax.random.split(key, 5)
+    x = jax.random.uniform(kx, (n,), jnp.float32, 0.0, box)
+    y = jax.random.uniform(ky, (n,), jnp.float32, 0.0, box)
+    # smoothing lengths within the K=8 level (footprint <= 8 px)
+    h = jax.random.uniform(kh, (n,), jnp.float32, 0.5 * px, 1.45 * px)
+    m = jax.random.uniform(km, (n,), jnp.float32, 0.5, 2.0)
+    t = jax.random.uniform(kt, (n,), jnp.float32, 1e4, 1e6)
+    fields = jnp.stack([m, m * t], axis=0)
+    jax.block_until_ready((x, y, h, fields))
+
+    if on_tpu:
+
+        def render():
+            return deposit_2d_pallas(
+                x, y, h, fields, spec, precision="bf16x2", level=PALLAS_LEVELS[0]
+            )
+
+    else:
+        # CPU smoke path: interpreter-mode Pallas is orders slower than the
+        # XLA stencil path, so smoke-test with the latter
+        from astro_sph_tools_tpu.ops.deposit import deposit_2d_fixed_h
+
+        def render():
+            return deposit_2d_fixed_h(x, y, h, fields.T, spec, K=8, chunk=8192)
+
+    # warm up / compile
+    out = render()
+    jax.block_until_ready(out)
+
+    iters = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    deposits_per_sec = n / dt
+    path = "fused pallas deposit incl. tile sort" if on_tpu else "xla stencil deposit (cpu smoke)"
+    print(
+        json.dumps(
+            {
+                "metric": f"particle-deposits/sec, {shape[0]}^2 2-field map stack ({path})",
+                "value": round(deposits_per_sec, 1),
+                "unit": "deposits/sec",
+                "vs_baseline": round(
+                    deposits_per_sec / NORTH_STAR_DEPOSITS_PER_SEC_PER_CHIP, 4
+                ),
+                "n_particles": n,
+                "wall_clock_s": round(dt, 4),
+                "backend": backend,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
