@@ -30,12 +30,17 @@ from .los import (
 )
 from .snapshot import SnapshotBase
 from .subfind import CatalogueSUBFIND
+from .swift import CatalogueSOAP, SnapshotSWIFT
+from .tng import CatalogueTNG, SnapshotTNG
+from .ionisation import IonisationTable_HM01, SupportedIons
 
 __all__ = [
     "errors",
     "BasicHaloDefinitions",
     "CatalogueBase",
+    "CatalogueSOAP",
     "CatalogueSUBFIND",
+    "CatalogueTNG",
     "CriticalSphericalOverdensityAperture",
     "EAGLE_MAX_GROUP_NUMBER",
     "FileSetLeaf",
@@ -53,6 +58,10 @@ __all__ = [
     "MeanSphericalOverdensityAperture",
     "SnapshotBase",
     "SnapshotEAGLE",
+    "SnapshotSWIFT",
+    "SnapshotTNG",
+    "IonisationTable_HM01",
+    "SupportedIons",
     "SphericalOverdensityAperture",
     "TopHatSphericalOverdensityAperture",
 ]

@@ -303,6 +303,263 @@ def _num_this_file(splits, fi) -> np.ndarray:
     return out
 
 
+def write_swift_snapshot(
+    directory: str,
+    spec: SyntheticSnapshotSpec,
+    particles: Optional[SyntheticParticles] = None,
+) -> tuple[str, SyntheticParticles]:
+    """Write a SWIFT-format snapshot (h-free on disk, per-field CGS attrs).
+
+    Schema per the framework's SWIFT reader docstring: values are the same
+    physical truth used for EAGLE fixtures, so cross-backend tests can assert
+    identical user-facing data.
+    """
+    p = particles or generate_particles(spec)
+    path = os.path.join(directory, f"swift_{spec.snapshot_number:04d}.hdf5")
+    cgs_key = "Conversion factor to CGS (not including cosmological corrections)"
+
+    counts = {pt: len(p.ids[pt]) for pt in ParticleType.get_all()}
+    num_total = np.zeros(6, dtype=np.int64)
+    for pt in ParticleType.get_all():
+        num_total[pt.value] = counts[pt]
+
+    with h5py.File(path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr.attrs["Redshift"] = np.array([spec.redshift])
+        hdr.attrs["Scale-factor"] = np.array([spec.expansion_factor])
+        hdr.attrs["NumPart_Total"] = num_total
+        hdr.attrs["NumPart_ThisFile"] = num_total
+        hdr.attrs["BoxSize"] = np.full(3, spec.box_size_mpc)  # internal U_L = Mpc
+        cos = f.create_group("Cosmology")
+        cos.attrs["h"] = np.array([spec.hubble_param])
+        cos.attrs["Omega_b"] = np.array([spec.omega_baryon])
+        units = f.create_group("Units")
+        units.attrs["Unit length in cgs (U_L)"] = np.array([C.MEGAPARSEC_CGS])
+        units.attrs["Unit mass in cgs (U_M)"] = np.array([C.SOLAR_MASS_CGS])
+
+        def mk(group, name, data, cgs, a_exp):
+            ds = group.create_dataset(name, data=data)
+            ds.attrs[cgs_key] = cgs
+            ds.attrs["a-scale exponent"] = np.array([a_exp])
+            return ds
+
+        for pt in ParticleType.get_all():
+            g = f.create_group(pt.common_hdf5_name)
+            mk(g, "Coordinates", p.positions[pt], C.MEGAPARSEC_CGS, 1.0)
+            mk(g, "Velocities", p.velocities[pt], 1.0e5, 0.5)
+            mk(g, "ParticleIDs", p.ids[pt], 1.0, 0.0)
+            if pt == ParticleType.black_hole:
+                mk(g, "DynamicalMasses", p.masses[pt], C.SOLAR_MASS_CGS, 0.0)
+                mk(g, "SubgridMasses", p.bh_subgrid_mass, C.SOLAR_MASS_CGS, 0.0)
+            else:
+                mk(g, "Masses", p.masses[pt], C.SOLAR_MASS_CGS, 0.0)
+            if pt != ParticleType.dark_matter:
+                mk(g, "SmoothingLengths", p.smoothing[pt], C.MEGAPARSEC_CGS, 1.0)
+            if pt == ParticleType.gas:
+                mk(g, "Densities", p.density, C.SOLAR_MASS_CGS / C.MEGAPARSEC_CGS**3, -3.0)
+                mk(g, "Temperatures", p.temperature, 1.0, 0.0)
+                mk(g, "StarFormationRates", p.sfr, C.SOLAR_MASS_CGS / C.YEAR_CGS, 0.0)
+            if pt in (ParticleType.gas, ParticleType.star):
+                mk(g, "MetalMassFractions", p.metallicity[pt], 1.0, 0.0)
+                mk(g, "MeanMetalWeightedRedshifts", p.enrichment_z[pt], 1.0, 0.0)
+                order = ("H", "He", "C", "N", "O", "Ne", "Mg", "Si", "Fe")
+                emf = np.stack([p.abundances[pt][s] for s in order], axis=1)
+                mk(g, "ElementMassFractions", emf, 1.0, 0.0)
+    return path, p
+
+
+def write_soap_catalogue(
+    directory: str,
+    spec: SyntheticSnapshotSpec,
+    particles: SyntheticParticles,
+) -> tuple[str, str, dict]:
+    """Write SOAP-style catalogue + membership files.
+
+    Schema per `io/SWIFT/_CatalogueSOAP.py`: VR group (ID, Parent_halo_ID,
+    Host_halo_ID, CentreOfPotential, CentreOfMass), SO/<mult>_crit subgroups,
+    and a membership file with per-type GroupNr_all/GroupNr_bound.
+    """
+    rng = np.random.default_rng(spec.seed + 11)
+    n = spec.n_groups
+    cgs_key = "Conversion factor to CGS (not including cosmological corrections)"
+
+    halo_ids = np.arange(1, n + 1, dtype=np.int64) * 10
+    parent = halo_ids.copy()
+    host = halo_ids.copy()
+    # make a couple of subhaloes
+    if n >= 4:
+        parent[2] = halo_ids[0]
+        host[2] = halo_ids[0]
+        parent[3] = halo_ids[2]
+        host[3] = halo_ids[0]
+    masses = 10.0 ** rng.uniform(11.0, 13.0, n)
+    radii = (masses / 1e12) ** (1 / 3) * 0.2
+
+    cat_path = os.path.join(directory, f"soap_{spec.snapshot_number:04d}.hdf5")
+    with h5py.File(cat_path, "w") as f:
+        vr = f.create_group("VR")
+        vr.create_dataset("ID", data=halo_ids)
+        vr.create_dataset("Parent_halo_ID", data=np.where(parent == halo_ids, -1, parent))
+        vr.create_dataset("Host_halo_ID", data=np.where(host == halo_ids, -1, host))
+        ds = vr.create_dataset("CentreOfPotential", data=particles.group_centres)
+        ds.attrs[cgs_key] = np.array([C.MEGAPARSEC_CGS])
+        ds = vr.create_dataset("CentreOfMass", data=particles.group_centres)
+        ds.attrs[cgs_key] = np.array([C.MEGAPARSEC_CGS])
+        for mult, factor in ((200, 1.0), (500, 0.7)):
+            so = f.create_group(f"SO/{mult}_crit")
+            ds = so.create_dataset("TotalMass", data=masses * factor)
+            ds.attrs[cgs_key] = np.array([C.SOLAR_MASS_CGS])
+            ds = so.create_dataset("SORadius", data=radii * factor)
+            ds.attrs[cgs_key] = np.array([C.MEGAPARSEC_CGS])
+        bs = f.create_group("BoundSubhalo")
+        ds = bs.create_dataset("TotalMass", data=masses)
+        ds.attrs[cgs_key] = np.array([C.SOLAR_MASS_CGS])
+
+    memb_path = os.path.join(directory, f"soap_membership_{spec.snapshot_number:04d}.hdf5")
+    with h5py.File(memb_path, "w") as f:
+        for pt in ParticleType.get_all():
+            gn = particles.group_numbers[pt]
+            # map synthetic group numbers (1-based, 2^30 = none) to halo index
+            idx_all = np.where((np.abs(gn) >= 1) & (np.abs(gn) <= n), np.abs(gn) - 1, -1)
+            idx_bound = np.where((gn >= 1) & (gn <= n), gn - 1, -1)
+            g = f.create_group(pt.common_hdf5_name)
+            g.create_dataset("GroupNr_all", data=idx_all.astype(np.int64))
+            g.create_dataset("GroupNr_bound", data=idx_bound.astype(np.int64))
+
+    truth = dict(halo_ids=halo_ids, parent=parent, host=host, masses=masses, radii=radii)
+    return cat_path, memb_path, truth
+
+
+def write_tng_snapshot(
+    directory: str,
+    spec: SyntheticSnapshotSpec,
+    particles: Optional[SyntheticParticles] = None,
+) -> tuple[str, str, SyntheticParticles, dict]:
+    """Write a TNG-format snapshot + group catalogue.
+
+    Schema per the TNG reader docstring: snapdir_NNN/snap_NNN.K.hdf5 with
+    ckpc/h lengths, 1e10 Msun/h masses, km sqrt(a)/s velocities, derived-
+    temperature inputs (InternalEnergy, ElectronAbundance, GFM_Metals); the
+    groups_NNN/fof_subhalo_tab_NNN catalogue with Group fields. Particles are
+    written sorted by FOF group (members first) so membership offsets work.
+    """
+    p = particles or generate_particles(spec)
+    h = spec.hubble_param
+    a = spec.expansion_factor
+    num = spec.snapshot_number
+    n_groups = spec.n_groups
+    rng = np.random.default_rng(spec.seed + 23)
+
+    snap_dir = os.path.join(directory, f"snapdir_{num:03d}")
+    group_dir = os.path.join(directory, f"groups_{num:03d}")
+    os.makedirs(snap_dir, exist_ok=True)
+    os.makedirs(group_dir, exist_ok=True)
+
+    def to_ckpc_h(mpc):
+        return mpc * h * 1.0e3
+
+    def to_1e10_h(msun):
+        return msun * h / 1.0e10
+
+    # sort every species by group (members of group 0, 1, ..., then fuzz)
+    order = {}
+    group_len_type = np.zeros((n_groups, 6), dtype=np.int64)
+    for pt in ParticleType.get_all():
+        gn = p.group_numbers[pt]
+        member = (gn > 0) & (gn < 2**30)
+        sort_key = np.where(member, gn - 1, n_groups + 1)
+        order[pt] = np.argsort(sort_key, kind="stable")
+        counts = np.bincount(gn[member] - 1, minlength=n_groups)
+        group_len_type[:, pt.value] = counts
+
+    counts_per_type = {pt: len(p.ids[pt]) for pt in ParticleType.get_all()}
+    num_total = np.zeros(6, dtype=np.int64)
+    for pt in ParticleType.get_all():
+        num_total[pt.value] = counts_per_type[pt]
+    mass_table = np.zeros(6, dtype=np.float64)
+    mass_table[1] = to_1e10_h(p.dm_particle_mass)
+
+    # temperature inputs consistent with the stored truth temperature:
+    # u = T k_B / ((gamma-1) mu) / 1e10
+    gas_order = order[ParticleType.gas]
+    x_h = p.abundances[ParticleType.gas]["H"]
+    x_e = rng.uniform(0.0, 1.2, counts_per_type[ParticleType.gas])
+    mu = 4.0 * C.PROTON_MASS_CGS / (1.0 + 3.0 * x_h + 4.0 * x_h * x_e)
+    u_cgs = p.temperature * C.BOLTZMANN_CONSTANT_CGS / ((5.0 / 3.0 - 1.0) * mu)
+    internal_energy = u_cgs / 1.0e10
+
+    n_files = spec.n_files
+    splits = {}
+    for pt in ParticleType.get_all():
+        n = counts_per_type[pt]
+        edges = np.linspace(0, n, n_files + 1).astype(int)
+        splits[pt] = [(edges[i], edges[i + 1]) for i in range(n_files)]
+
+    first = None
+    for fi in range(n_files):
+        path = os.path.join(snap_dir, f"snap_{num:03d}.{fi}.hdf5")
+        if fi == 0:
+            first = path
+        with h5py.File(path, "w") as f:
+            hdr = f.create_group("Header")
+            hdr.attrs["Redshift"] = spec.redshift
+            hdr.attrs["HubbleParam"] = h
+            hdr.attrs["Time"] = a
+            hdr.attrs["OmegaBaryon"] = spec.omega_baryon
+            hdr.attrs["BoxSize"] = to_ckpc_h(spec.box_size_mpc)
+            hdr.attrs["NumPart_Total"] = num_total
+            hdr.attrs["NumPart_ThisFile"] = _num_this_file(splits, fi)
+            hdr.attrs["MassTable"] = mass_table
+            hdr.attrs["NumFilesPerSnapshot"] = n_files
+
+            for pt in ParticleType.get_all():
+                i0, i1 = splits[pt][fi]
+                sel = order[pt][i0:i1]
+                g = f.create_group(pt.common_hdf5_name)
+                g.create_dataset("ParticleIDs", data=p.ids[pt][sel])
+                g.create_dataset("Coordinates", data=to_ckpc_h(p.positions[pt][sel]))
+                g.create_dataset(
+                    "Velocities", data=p.velocities[pt][sel] / np.sqrt(a)
+                )
+                if pt != ParticleType.dark_matter:
+                    g.create_dataset("Masses", data=to_1e10_h(p.masses[pt][sel]))
+                    g.create_dataset("SubfindHsml", data=to_ckpc_h(p.smoothing[pt][sel]))
+                if pt == ParticleType.black_hole:
+                    g.create_dataset("BH_Mass", data=to_1e10_h(p.bh_subgrid_mass[sel]))
+                if pt == ParticleType.gas:
+                    # density in 1e10 Msun/h per (ckpc/h)^3
+                    rho_internal = (p.density[sel] / 1.0e10 / h**2) * 1.0e-9
+                    g.create_dataset("Density", data=rho_internal)
+                    g.create_dataset("InternalEnergy", data=internal_energy[sel])
+                    g.create_dataset("ElectronAbundance", data=x_e[sel])
+                    g.create_dataset("StarFormationRate", data=p.sfr[sel])
+                if pt in (ParticleType.gas, ParticleType.star):
+                    g.create_dataset("GFM_Metallicity", data=p.metallicity[pt][sel])
+                    gfm_order = ("H", "He", "C", "N", "O", "Ne", "Mg", "Si", "Fe")
+                    metals = np.stack([p.abundances[pt][s][sel] for s in gfm_order], axis=1)
+                    g.create_dataset("GFM_Metals", data=metals)
+
+    # group catalogue
+    masses = 10.0 ** rng.uniform(11.0, 13.0, n_groups)
+    radii = (masses / 1e12) ** (1 / 3) * 0.2
+    cat_path = os.path.join(group_dir, f"fof_subhalo_tab_{num:03d}.0.hdf5")
+    with h5py.File(cat_path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr.attrs["Ngroups_Total"] = n_groups
+        hdr.attrs["Ngroups_ThisFile"] = n_groups
+        g = f.create_group("Group")
+        g.create_dataset("GroupPos", data=to_ckpc_h(p.group_centres))
+        g.create_dataset("GroupCM", data=to_ckpc_h(p.group_centres))
+        g.create_dataset("GroupMass", data=to_1e10_h(masses))
+        g.create_dataset("GroupLenType", data=group_len_type)
+        for spec_name, factor in (("Crit200", 1.0), ("Crit500", 0.7), ("Mean200", 1.2), ("TopHat200", 1.1)):
+            g.create_dataset(f"Group_M_{spec_name}", data=to_1e10_h(masses * factor))
+            g.create_dataset(f"Group_R_{spec_name}", data=to_ckpc_h(radii * factor))
+
+    truth = dict(order=order, masses=masses, radii=radii, x_e=x_e, group_len_type=group_len_type)
+    return first, cat_path, p, truth
+
+
 def write_los_file(
     directory: str,
     spec: SyntheticSnapshotSpec,

@@ -1,0 +1,148 @@
+"""SWIFT backend tests: snapshot field recovery, DM k-NN hsml, SOAP catalogue."""
+
+import numpy as np
+import pytest
+
+from astro_sph_tools_tpu.data_structures import ParticleType
+from astro_sph_tools_tpu.io.catalogue import BasicHaloDefinitions
+from astro_sph_tools_tpu.io.errors import HaloDefinitionNotSupportedError
+from astro_sph_tools_tpu.io.swift import CatalogueSOAP, SnapshotSWIFT
+from astro_sph_tools_tpu.io.synthetic import (
+    SyntheticSnapshotSpec,
+    write_soap_catalogue,
+    write_swift_snapshot,
+)
+
+
+@pytest.fixture(scope="module")
+def swift(tmp_path_factory):
+    spec = SyntheticSnapshotSpec(n_gas=1024, n_dm=1500, n_star=128, n_bh=4)
+    root = tmp_path_factory.mktemp("swift_sim")
+    path, truth = write_swift_snapshot(str(root), spec)
+    cat_path, memb_path, cat_truth = write_soap_catalogue(str(root), spec, truth)
+    snap = SnapshotSWIFT(path)
+    return snap, truth, spec, cat_path, memb_path, cat_truth
+
+
+class TestSnapshotSWIFT:
+    def test_metadata(self, swift):
+        snap, truth, spec, *_ = swift
+        assert snap.redshift == pytest.approx(spec.redshift)
+        assert snap.h == pytest.approx(spec.hubble_param)
+        assert snap.omega_baryon == pytest.approx(spec.omega_baryon)
+        np.testing.assert_allclose(snap.box_size.value, spec.box_size_mpc)
+        assert snap.number_of_particles(ParticleType.gas) == spec.n_gas
+
+    def test_field_recovery_matches_truth(self, swift):
+        snap, truth, *_ = swift
+        np.testing.assert_allclose(
+            snap.get_positions(ParticleType.gas).value,
+            truth.positions[ParticleType.gas], rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            snap.get_masses(ParticleType.gas).value, truth.masses[ParticleType.gas], rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            snap.get_densities(ParticleType.gas).value, truth.density, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            snap.get_temperatures(ParticleType.gas).value, truth.temperature, rtol=1e-10
+        )
+
+    def test_cross_backend_parity_with_eagle(self, swift, tmp_path):
+        """Same physical truth through EAGLE and SWIFT files must give the
+        same user-facing values."""
+        from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+        from astro_sph_tools_tpu.io.synthetic import write_snapshot
+
+        snap_swift, truth, spec, *_ = swift
+        eagle_path, _ = write_snapshot(str(tmp_path), spec, truth)
+        snap_eagle = SnapshotEAGLE(eagle_path)
+        for pt in (ParticleType.gas, ParticleType.star):
+            np.testing.assert_allclose(
+                snap_swift.get_positions(pt).value,
+                snap_eagle.get_positions(pt).value, rtol=1e-9,
+            )
+            np.testing.assert_allclose(
+                snap_swift.get_masses(pt).value,
+                snap_eagle.get_masses(pt).value, rtol=1e-6,
+            )
+        np.testing.assert_allclose(
+            snap_swift.get_elemental_abundance(ParticleType.gas, "Fe").value,
+            snap_eagle.get_elemental_abundance(ParticleType.gas, "Fe").value, rtol=1e-10,
+        )
+
+    def test_dm_smoothing_lengths_knn(self, swift):
+        """DM hsml = 32nd-neighbour distance (periodic)."""
+        from scipy.spatial import KDTree
+
+        snap, truth, spec, *_ = swift
+        hs = snap.get_smoothing_lengths(ParticleType.dark_matter)
+        pos = truth.positions[ParticleType.dark_matter]
+        box = spec.box_size_mpc
+        tree = KDTree(np.mod(pos, box), boxsize=box)
+        d, _ = tree.query(np.mod(pos, box), k=32)
+        np.testing.assert_allclose(hs.value, d[:, -1], rtol=1e-8)
+        assert len(hs) == spec.n_dm  # the reference's max/min bug truncated this
+
+    def test_bh_mass_split(self, swift):
+        snap, truth, *_ = swift
+        np.testing.assert_allclose(
+            snap.get_black_hole_subgrid_masses().value, truth.bh_subgrid_mass, rtol=1e-10
+        )
+        with pytest.raises(ValueError):
+            snap.get_masses(ParticleType.black_hole)
+
+    def test_proper_units_scale(self, swift):
+        snap, truth, spec, *_ = swift
+        pos_p = snap.get_positions(ParticleType.gas, use_proper_units=True)
+        np.testing.assert_allclose(
+            pos_p.value, truth.positions[ParticleType.gas] * spec.expansion_factor, rtol=1e-10
+        )
+
+
+class TestCatalogueSOAP:
+    def test_halo_ids_and_parents(self, swift):
+        snap, truth, spec, cat_path, memb_path, cat_truth = swift
+        cat = CatalogueSOAP(cat_path, memb_path, snap)
+        assert len(cat) == spec.n_groups
+        np.testing.assert_array_equal(cat.get_halo_IDs(), cat_truth["halo_ids"])
+        np.testing.assert_array_equal(cat.get_halo_parent_IDs(), cat_truth["parent"])
+        np.testing.assert_array_equal(cat.get_halo_top_level_parent_IDs(), cat_truth["host"])
+
+    def test_centres_and_masses(self, swift):
+        snap, truth, spec, cat_path, memb_path, cat_truth = swift
+        cat = CatalogueSOAP(cat_path, memb_path, snap)
+        np.testing.assert_allclose(
+            cat.get_halo_centres_of_potential().value, truth.group_centres, rtol=1e-10
+        )
+        m200 = cat.get_halo_masses(BasicHaloDefinitions.SO_200_CRIT.value)
+        np.testing.assert_allclose(m200.value, cat_truth["masses"], rtol=1e-10)
+        r500 = cat.get_halo_radii(BasicHaloDefinitions.SO_500_CRIT.value)
+        np.testing.assert_allclose(r500.value, cat_truth["radii"] * 0.7, rtol=1e-10)
+
+    def test_unsupported_definition(self, swift):
+        snap, truth, spec, cat_path, memb_path, _ = swift
+        cat = CatalogueSOAP(cat_path, memb_path, snap)
+        with pytest.raises(HaloDefinitionNotSupportedError):
+            cat.get_halo_radii(BasicHaloDefinitions.SO_200_MEAN.value)
+
+    def test_membership_maps(self, swift):
+        snap, truth, spec, cat_path, memb_path, _ = swift
+        cat = CatalogueSOAP(cat_path, memb_path, snap)
+        idx = cat.get_halo_indexes_by_snapshot_particle(ParticleType.gas)
+        gn = truth.group_numbers[ParticleType.gas]
+        bound = (gn >= 1) & (gn <= spec.n_groups)
+        np.testing.assert_array_equal(idx[bound], gn[bound] - 1)
+        # bound_only variant drops the unbound (negative group number) ones
+        idx_b = cat.get_halo_indexes_by_snapshot_particle(ParticleType.gas, bound_only=True)
+        unbound = gn < 0
+        assert (idx_b[unbound] == -1).all()
+
+    def test_hierarchy_counts(self, swift):
+        snap, truth, spec, cat_path, memb_path, cat_truth = swift
+        cat = CatalogueSOAP(cat_path, memb_path, snap)
+        kids = cat.number_of_children
+        # halo 0 has one direct child (halo 2); halo 2 has one (halo 3)
+        assert kids[0] == 1 and kids[2] == 1
+        assert cat.number_of_descendants[0] == 2
