@@ -1,0 +1,48 @@
+"""Analysis-tools namespace (reference-API-compatible re-exports).
+
+The reference exposes its periodic-box functions and the ArrayReorder family
+under ``astro_sph_tools.tools`` (`tools/__init__.py:5-7`); this package
+mirrors that surface over the TPU-native implementations in ``ops``, and
+additionally ships the *working* projection engine the reference only
+intended (`tools/projections`, broken in-tree — SURVEY.md §2.9.1).
+"""
+
+from ..ops.deposit import MapSpec, deposit_2d, deposit_weighted_mean
+from ..ops.deposit_pallas import deposit_2d_auto, deposit_2d_pallas
+from ..ops.grid3d import GridSpec, deposit_3d
+from ..ops.periodic import (
+    calculate_periodic,
+    make_periodic,
+    shift_centre,
+    shift_origin,
+    wrapped_displacement,
+    wrapped_distance,
+)
+from ..ops.reorder import ArrayMapping, ArrayReorder
+from ..ops.sightlines import column_integrate, los_profiles
+
+# reference naming aliases
+calculate_wrapped_displacement = wrapped_displacement
+calculate_wrapped_distance = wrapped_distance
+
+__all__ = [
+    "ArrayMapping",
+    "ArrayReorder",
+    "GridSpec",
+    "MapSpec",
+    "calculate_periodic",
+    "calculate_wrapped_displacement",
+    "calculate_wrapped_distance",
+    "column_integrate",
+    "deposit_2d",
+    "deposit_2d_auto",
+    "deposit_2d_pallas",
+    "deposit_3d",
+    "deposit_weighted_mean",
+    "los_profiles",
+    "make_periodic",
+    "shift_centre",
+    "shift_origin",
+    "wrapped_displacement",
+    "wrapped_distance",
+]

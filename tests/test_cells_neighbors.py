@@ -1,0 +1,107 @@
+"""Morton/cell-list structure and neighbor queries vs scipy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial import KDTree
+
+from astro_sph_tools_tpu.ops.cells import (
+    build_cell_list,
+    linear_cell_id,
+    morton_encode_3d,
+)
+from astro_sph_tools_tpu.ops.neighbors import (
+    knn_distances,
+    nearest_points,
+    nearest_points_device,
+)
+
+
+class TestMorton:
+    def test_interleaving_small(self):
+        # morton(1,0,0)=1, morton(0,1,0)=2, morton(0,0,1)=4, morton(1,1,1)=7
+        ix = jnp.asarray([1, 0, 0, 1])
+        iy = jnp.asarray([0, 1, 0, 1])
+        iz = jnp.asarray([0, 0, 1, 1])
+        np.testing.assert_array_equal(np.asarray(morton_encode_3d(ix, iy, iz)), [1, 2, 4, 7])
+
+    def test_bijective_on_random(self, rng):
+        n = 2000
+        coords = rng.integers(0, 1024, (n, 3))
+        keys = np.asarray(
+            morton_encode_3d(jnp.asarray(coords[:, 0]), jnp.asarray(coords[:, 1]), jnp.asarray(coords[:, 2]))
+        )
+        unique_coords = np.unique(coords, axis=0)
+        assert len(np.unique(keys)) == len(unique_coords)
+
+    def test_locality(self):
+        """Adjacent cells differ in few high bits: keys of a 2x2x2 block are
+        contiguous 0..7."""
+        ix, iy, iz = np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij")
+        keys = np.asarray(
+            morton_encode_3d(jnp.asarray(ix.ravel()), jnp.asarray(iy.ravel()), jnp.asarray(iz.ravel()))
+        )
+        assert sorted(keys) == list(range(8))
+
+
+class TestCellList:
+    def test_ranges_partition_particles(self, rng):
+        n = 5000
+        pos = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+        cl = build_cell_list(jnp.asarray(pos), box_size=10.0, n_cells_per_axis=8)
+        counts = np.asarray(cl.counts())
+        assert counts.sum() == n
+        # every particle's cell id matches its range
+        sorted_ids = np.asarray(cl.cell_of_particle)
+        starts = np.asarray(cl.cell_start)
+        ends = np.asarray(cl.cell_end)
+        for cell in rng.integers(0, 512, 32):
+            seg = sorted_ids[starts[cell] : ends[cell]]
+            assert (seg == cell).all()
+
+    def test_cell_membership_correct(self, rng):
+        n = 1000
+        pos = rng.uniform(0, 8, (n, 3)).astype(np.float32)
+        cl = build_cell_list(jnp.asarray(pos), box_size=8.0, n_cells_per_axis=4)
+        order = np.asarray(cl.order)
+        ids = np.asarray(linear_cell_id(jnp.asarray(pos), 8.0, 4))
+        np.testing.assert_array_equal(np.asarray(cl.cell_of_particle), ids[order])
+
+
+class TestNearestPoints:
+    def test_matches_kdtree(self, rng):
+        q = rng.uniform(0, 10, (500, 3))
+        p = rng.uniform(0, 10, (200, 3))
+        idx, dist = nearest_points_device(q, p)
+        tree = KDTree(p)
+        exp_dist, exp_idx = tree.query(q)
+        np.testing.assert_array_equal(idx, exp_idx)
+        np.testing.assert_allclose(dist, exp_dist, rtol=1e-5)
+
+    def test_periodic_matches_kdtree(self, rng):
+        box = 10.0
+        q = rng.uniform(0, box, (300, 3))
+        p = rng.uniform(0, box, (50, 3))
+        idx, dist = nearest_points_device(q, p, periodic_box=box)
+        tree = KDTree(p, boxsize=box)
+        exp_dist, exp_idx = tree.query(q)
+        np.testing.assert_array_equal(idx, exp_idx)
+        np.testing.assert_allclose(dist, exp_dist, rtol=1e-5, atol=1e-6)
+
+    def test_dispatcher_large_uses_host(self, rng):
+        q = rng.uniform(0, 10, (50, 3))
+        p = rng.uniform(0, 10, (30, 3))
+        idx_d, dist_d = nearest_points(q, p, prefer_device=True)
+        idx_h, dist_h = nearest_points(q, p, prefer_device=False)
+        np.testing.assert_array_equal(idx_d, idx_h)
+        np.testing.assert_allclose(dist_d, dist_h, rtol=1e-5)
+
+
+class TestKnn:
+    def test_matches_kdtree_k32(self, rng):
+        box = 10.0
+        p = rng.uniform(0, box, (800, 3))
+        d = knn_distances(p, p, 32, periodic_box=box)
+        tree = KDTree(p, boxsize=box)
+        exp, _ = tree.query(p, k=32)
+        np.testing.assert_allclose(d, exp, rtol=1e-4, atol=1e-5)
