@@ -33,6 +33,11 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__fi
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-@pytest.fixture(scope="session")
-def rng() -> np.random.Generator:
-    return np.random.default_rng(421)
+@pytest.fixture()
+def rng(request) -> np.random.Generator:
+    """Per-test deterministic generator: the seed derives from the test id
+    (stable CRC32, not the randomized builtin hash) so streams never depend
+    on execution order or which other tests ran."""
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
