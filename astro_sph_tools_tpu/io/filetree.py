@@ -322,6 +322,168 @@ def _catalogue_file_set(
     return result
 
 
+# --- TNG naming schemes -------------------------------------------------------
+# The reference's TNG scraper cloned the EAGLE machinery but left EAGLE-style
+# snapshot patterns while its constructor expected snapdir_NNN/snap_NNN.K.hdf5
+# (`io/TNG/_TNG.py:57-58` vs `_SnapshotTNG.py:64` — stale, SURVEY.md §2.5).
+# These patterns match the real TNG layout. TNG names carry no redshift, so
+# the tag is synthesised from the header when leaves load.
+
+_TNG_SNAPSHOT = re.compile(
+    r".*snapdir_(?P<number>\d{3})[\\/]snap_(?P=number)\.(?P<parallel_index>\d+)\.(?P<extension>hdf5)$"
+)
+_TNG_GROUPCAT = re.compile(
+    r".*groups_(?P<number>\d{3})[\\/]fof_subhalo_tab_(?P=number)\.(?P<parallel_index>\d+)\.(?P<extension>hdf5)$"
+)
+
+
+class _NumberedFileSet(TaggedFileSet):
+    """TaggedFileSet for schemes without a redshift in the name (TNG)."""
+
+    def __init__(self, directory, pattern, kind, skip_numbers=None, loader=None):
+        self._directory = os.path.realpath(directory)
+        self._kind = kind
+        skip = set(skip_numbers or ())
+        groups: dict[str, list[tuple[int, str]]] = {}
+        for root, _, files in os.walk(self._directory):
+            for filename in files:
+                path = os.path.join(root, filename)
+                m = pattern.match(path)
+                if not m:
+                    continue
+                number = m.group("number")
+                if number in skip:
+                    continue
+                groups.setdefault(number, []).append(
+                    (int(m.group("parallel_index")), path)
+                )
+        self._leaves = []
+        for number, entries in groups.items():
+            entries.sort()
+            self._leaves.append(
+                FileSetLeaf(
+                    number=number,
+                    tag=number,  # no redshift encoded in TNG names
+                    filepaths=tuple(p for _, p in entries),
+                    loader=loader,
+                )
+            )
+        self._leaves.sort(key=lambda leaf: leaf.number_numerical)
+        self._by_number = {leaf.number: leaf for leaf in self._leaves}
+        self._by_tag = {leaf.tag: leaf for leaf in self._leaves}
+        self._redshift_cache: dict[str, float] = {}
+
+    def _leaf_redshift(self, leaf: FileSetLeaf) -> float:
+        if leaf.number not in self._redshift_cache:
+            import h5py
+
+            with h5py.File(leaf.filepath, "r") as f:
+                self._redshift_cache[leaf.number] = float(f["Header"].attrs["Redshift"])
+        return self._redshift_cache[leaf.number]
+
+    def find_file_number_from_redshift(self, redshift: float) -> str:
+        numbers = np.array(self.get_numbers(), dtype=str)
+        numbers = numbers[np.argsort([float(v) for v in numbers])]
+        redshifts = np.array(
+            [self._leaf_redshift(self.get_by_number(n)) for n in numbers], dtype=float
+        )
+        prior = redshifts >= redshift
+        if prior.sum() == 0:
+            raise FileNotFoundError(
+                f"Unable to find search data for a file with a redshift of (or "
+                f"exceding) {redshift}.\nThe first file has a redshift of {redshifts[0]}."
+            )
+        selected = redshifts[prior][-1]
+        if (redshift >= 1.0 and redshift - selected > 0.5) or (
+            redshift < 1.0 and redshift - selected > 0.1
+        ):
+            print_verbose_warning(
+                f"Attempted to find data at z={redshift} but only managed to "
+                f"retrive data for z=~{selected}."
+            )
+        return str(numbers[prior][-1])
+
+
+def _load_tng_snapshot(leaf: FileSetLeaf):
+    from .tng import SnapshotTNG
+
+    return SnapshotTNG(leaf.filepath)
+
+
+def _load_tng_catalogue(leaf: FileSetLeaf):
+    from .tng import CatalogueTNG
+
+    snapshot = leaf.snapshot_leaf.load()
+    return CatalogueTNG(leaf.filepath, snapshot)
+
+
+class FileTreeScraper_TNG(FileTreeScraperBase):
+    """TNG simulation directory index (working replacement for the stale
+    reference scraper, `io/TNG/_TNG.py`)."""
+
+    def __init__(self, filepath: str, skip_snapshot_numbers=None) -> None:
+        super().__init__({"root": filepath}, skip_snapshot_numbers, None)
+        skips = list(self.skipped_snapshot_numbers)
+        self._snapshots = _NumberedFileSet(
+            filepath, _TNG_SNAPSHOT, "snapshot", skips, _load_tng_snapshot
+        )
+        self._catalogues = _NumberedFileSet(
+            filepath, _TNG_GROUPCAT, "catalogue", skips, _load_tng_catalogue
+        )
+        for leaf in self._catalogues:
+            try:
+                leaf.snapshot_leaf = self._snapshots.get_by_number(leaf.number)
+            except KeyError:
+                leaf.snapshot_leaf = None
+
+    @property
+    def directory(self) -> str:
+        return self.root_directories["root"]
+
+    @property
+    def snapshots(self) -> _NumberedFileSet:
+        return self._snapshots
+
+    @property
+    def catalogues(self) -> _NumberedFileSet:
+        return self._catalogues
+
+
+# --- SWIFT discovery ----------------------------------------------------------
+
+_SWIFT_SNAPSHOT = re.compile(
+    r".*[\\/](?P<stem>[\w\-]+?)_(?P<number>\d{3,4})(?:\.(?P<parallel_index>\d+))?\.hdf5$"
+)
+
+
+def discover_swift_snapshots(directory: str) -> dict[str, list[str]]:
+    """Find SWIFT snapshot files grouped by output number.
+
+    Replacement for the reference's scrape/generate utilities
+    (`io/SWIFT/_SnapshotSWIFT.py:114-283`), validating candidates by header
+    shape rather than a full ``swiftsimio`` load.
+    """
+    import h5py
+
+    found: dict[str, list[str]] = {}
+    for root, _, files in os.walk(os.path.realpath(directory)):
+        for filename in files:
+            path = os.path.join(root, filename)
+            m = _SWIFT_SNAPSHOT.match(path)
+            if not m:
+                continue
+            try:
+                with h5py.File(path, "r") as f:
+                    if "Header" not in f or "Cosmology" not in f:
+                        continue
+            except OSError:
+                continue
+            found.setdefault(m.group("number"), []).append(path)
+    for paths in found.values():
+        paths.sort()
+    return found
+
+
 class FileTreeScraper_EAGLE(FileTreeScraperBase):
     """EAGLE simulation directory index (`_EAGLE.py:398-474`)."""
 
