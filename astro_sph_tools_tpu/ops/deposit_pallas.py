@@ -376,11 +376,19 @@ def deposit_2d_pallas(
     )
 
     n_tiles = n_tiles_x * n_tiles_y
+    n_rows = packed.shape[0]
+    # The input block is DMA'd for every grid step regardless of the
+    # pl.when(j < nchunks) skip in the kernel body, so the block index MUST
+    # be clamped: an out-of-range bs[t]+j on the trailing steps of sparse
+    # tiles reads past the packed array and crashes the device.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles, jmax),
         in_specs=[
-            pl.BlockSpec((1, 8, _CHUNK), lambda t, j, bs, ps, pc, nc: (bs[t] + j, 0, 0)),
+            pl.BlockSpec(
+                (1, 8, _CHUNK),
+                lambda t, j, bs, ps, pc, nc: (jnp.minimum(bs[t] + j, n_rows - 1), 0, 0),
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, n_fields * cfg.R, cfg.S), lambda t, j, bs, ps, pc, nc: (t, 0, 0)
