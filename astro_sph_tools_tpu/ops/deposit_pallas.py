@@ -156,44 +156,46 @@ def _deposit_kernel(
 
         vals = data[3 : 3 + n_fields, :]  # (F, C)
 
-        # per column offset k: weights (R, C) and one-hot placement (C, S);
-        # concatenated along the contraction dim into a single MXU matmul
-        w_parts = []
-        p_parts = []
-        for k in range(K):
+        # Per column offset k: weights (F*R, C) and one-hot placement (C, S),
+        # accumulated over a fori_loop (keeps Mosaic compile size flat in K —
+        # a fully unrolled+concatenated variant compiled ~10x slower).
+        # NOTE on matmul precision: one-hot operands are exact in bf16, and
+        # TPU f32 dots default to bf16 multiplication, so 'f32' must request
+        # Precision.HIGHEST explicitly.
+        def k_step(k, contrib):
             dxk = ((col0 + k).astype(jnp.float32) + offset - u_loc) * psx  # (1, C)
             r = jnp.sqrt(dy2 + dxk * dxk)
             wk = kernel.w(r, h)  # (R, C); zero outside support by definition
             wk = jnp.where(valid, wk, 0.0)
-            w_parts.append(wk)
-            p_parts.append(s_iota == (col0_s + k))
-
-        P = jnp.concatenate(p_parts, axis=0)  # (K*C, S)
-        # rows: field-major stack of weighted contributions -> (F*R, K*C)
-        W_rows = jnp.concatenate(
-            [
-                jnp.concatenate([wk * vals[f : f + 1, :] for wk in w_parts], axis=1)
-                for f in range(n_fields)
-            ],
-            axis=0,
-        )
-
-        if precision == "f32":
-            contrib = jnp.dot(W_rows, P.astype(jnp.float32), preferred_element_type=jnp.float32)
-        elif precision == "bf16":
-            contrib = jnp.dot(
-                W_rows.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+            # field-stacked rows: (F*R, C)
+            w_rows = jnp.concatenate(
+                [wk * vals[f : f + 1, :] for f in range(n_fields)], axis=0
             )
-        else:  # bf16x2: exact one-hot placement, split weights (hi + residual)
-            Pb = P.astype(jnp.bfloat16)
-            hi = W_rows.astype(jnp.bfloat16)
-            lo = (W_rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            contrib = (
-                jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
+            Pk = s_iota == (col0_s + k)  # (C, S) exact one-hot
+            if precision == "f32":
+                return contrib + jnp.dot(
+                    w_rows, Pk.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            if precision == "bf16":
+                return contrib + jnp.dot(
+                    w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            # bf16x2: exact placement, split weights (hi + residual)
+            Pb = Pk.astype(jnp.bfloat16)
+            hi = w_rows.astype(jnp.bfloat16)
+            lo = (w_rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (
+                contrib
+                + jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
                 + jnp.dot(lo, Pb, preferred_element_type=jnp.float32)
             )
 
+        contrib = jax.lax.fori_loop(
+            0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
+        )
         acc_ref[0] += contrib
 
 
@@ -275,40 +277,30 @@ def _choose_tx(cfg: PallasDepositConfig, nx: int, periodic: bool) -> int:
     return tx
 
 
-def prepare_tiled_particles(
-    x, y, h, values, spec: MapSpec, cfg: PallasDepositConfig,
-    *, n_tiles_x: int, n_tiles_y: int, tx: int,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_fields", "extent", "shape", "periodic", "tile_ty", "n_tiles_x", "n_tiles_y", "tx",
+    ),
+)
+def _prepare_impl(
+    x, y, h, values,
+    *, n_fields, extent, shape, periodic, tile_ty, n_tiles_x, n_tiles_y, tx,
 ):
-    """Sort particles by tile and pack channel blocks for the Pallas pass.
-
-    Returns (packed (n_rows, 8, C), block_start, pstart, pcount, nchunks,
-    jmax, n_fields). One host sync (jmax) — amortised over every field/map
-    rendered from the same particle set.
-    """
     C = _CHUNK
-    x0, x1, y0, y1 = spec.extent
-    ny, nx = spec.shape
+    x0, x1, y0, y1 = extent
+    ny, nx = shape
     psx = (x1 - x0) / nx
     psy = (y1 - y0) / ny
 
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    h = jnp.asarray(h, jnp.float32)
-    values = jnp.asarray(values, jnp.float32)
-    if values.ndim == 1:
-        values = values[None, :]
-    n_fields = values.shape[0]
-    if n_fields > 5:
-        raise ValueError("pallas deposit supports at most 5 fields per pass")
-
     u = (x - x0) / psx
     v = (y - y0) / psy
-    if spec.periodic_wrap:
+    if periodic:
         u = jnp.mod(u, nx)
         v = jnp.mod(v, ny)
 
     tx_i = jnp.clip((u / tx).astype(jnp.int32), 0, n_tiles_x - 1)
-    ty_i = jnp.clip((v / cfg.TY).astype(jnp.int32), 0, n_tiles_y - 1)
+    ty_i = jnp.clip((v / tile_ty).astype(jnp.int32), 0, n_tiles_y - 1)
     tile_id = (ty_i * n_tiles_x + tx_i).astype(jnp.int32)
 
     operands = [tile_id, u, v, h] + [values[f] for f in range(n_fields)]
@@ -323,7 +315,6 @@ def prepare_tiled_particles(
     pcount = pend - pstart
     block_start = pstart // C
     nchunks = (pend + C - 1) // C - block_start
-    jmax = int(jnp.max(nchunks)) if n else 1  # host sync
 
     n_pad = max(C, ((n + C - 1) // C) * C)
     n_rows = n_pad // C
@@ -335,7 +326,41 @@ def prepare_tiled_particles(
     channels += [pack(sorted_ops[4 + f]) for f in range(n_fields)]
     channels += [jnp.zeros((n_rows, C), jnp.float32)] * (8 - len(channels))
     packed = jnp.stack(channels, axis=1)  # (n_rows, 8, C)
+    return packed, block_start, pstart, pcount, nchunks
 
+
+def prepare_tiled_particles(
+    x, y, h, values, spec: MapSpec, cfg: PallasDepositConfig,
+    *, n_tiles_x: int, n_tiles_y: int, tx: int,
+):
+    """Sort particles by tile and pack channel blocks for the Pallas pass.
+
+    One fused jit program (sort + ranges + pack); the only host sync is the
+    jmax reduction sizing the grid — amortised over every field/map rendered
+    from the same particle set.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    values = jnp.asarray(values, jnp.float32)
+    if values.ndim == 1:
+        values = values[None, :]
+    n_fields = values.shape[0]
+    if n_fields > 5:
+        raise ValueError("pallas deposit supports at most 5 fields per pass")
+
+    packed, block_start, pstart, pcount, nchunks = _prepare_impl(
+        x, y, h, values,
+        n_fields=n_fields,
+        extent=tuple(float(e) for e in spec.extent),
+        shape=spec.shape,
+        periodic=spec.periodic_wrap,
+        tile_ty=cfg.TY,
+        n_tiles_x=n_tiles_x,
+        n_tiles_y=n_tiles_y,
+        tx=tx,
+    )
+    jmax = int(jnp.max(nchunks)) if x.shape[0] else 1  # host sync
     return packed, block_start, pstart, pcount, nchunks, max(jmax, 1), n_fields
 
 
@@ -375,8 +400,33 @@ def deposit_2d_pallas(
         )
     )
 
+    tiles = _cached_deposit_call(
+        cfg, n_tiles_x, n_tiles_y, jmax, packed.shape[0], n_fields, tx,
+        kernel, kspec.support_factor, psx, psy, spec.sample_offset, precision,
+        interpret,
+    )(block_start, pstart, pcount, nchunks, packed)
+
+    img = _cached_overlap_add(cfg, tx, n_tiles_y, n_tiles_x, n_fields, ny, nx, spec.periodic_wrap)(
+        tiles
+    )
+    return img[0] if n_fields == 1 else img
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=512)
+def _cached_deposit_call(
+    cfg, n_tiles_x, n_tiles_y, jmax, n_rows, n_fields, tx,
+    kernel, support_factor, psx, psy, offset, precision, interpret,
+):
+    """Build (once per static configuration) the jitted pallas call.
+
+    ``pl.pallas_call`` constructs a fresh traced callable every invocation;
+    without this cache every render re-traces the kernel (~0.5 s — 6x the
+    actual 16M-particle deposit time).
+    """
     n_tiles = n_tiles_x * n_tiles_y
-    n_rows = packed.shape[0]
     # The input block is DMA'd for every grid step regardless of the
     # pl.when(j < nchunks) skip in the kernel body, so the block index MUST
     # be clamped: an out-of-range bs[t]+j on the trailing steps of sparse
@@ -402,23 +452,28 @@ def deposit_2d_pallas(
         n_tiles_x=n_tiles_x,
         tx=tx,
         kernel_name=kernel,
-        support_factor=kspec.support_factor,
+        support_factor=support_factor,
         psx=psx,
         psy=psy,
-        offset=spec.sample_offset,
+        offset=offset,
         precision=precision,
     )
-    tiles = pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, n_fields * cfg.R, cfg.S), jnp.float32),
         interpret=interpret,
-    )(block_start, pstart, pcount, nchunks, packed)
-
-    img = _overlap_add(
-        tiles, cfg, tx, n_tiles_y, n_tiles_x, n_fields, ny, nx, spec.periodic_wrap
     )
-    return img[0] if n_fields == 1 else img
+    return jax.jit(call)
+
+
+@lru_cache(maxsize=512)
+def _cached_overlap_add(cfg, tx, n_tiles_y, n_tiles_x, n_fields, ny, nx, periodic):
+    return jax.jit(
+        lambda tiles: _overlap_add(
+            tiles, cfg, tx, n_tiles_y, n_tiles_x, n_fields, ny, nx, periodic
+        )
+    )
 
 
 def deposit_2d_auto(

@@ -27,7 +27,16 @@ NORTH_STAR_DEPOSITS_PER_SEC_PER_CHIP = 1.0e9 / 2.0 / 8.0
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # amortise the (one-time per shape) XLA sort compile across bench runs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from astro_sph_tools_tpu.ops.deposit import MapSpec
