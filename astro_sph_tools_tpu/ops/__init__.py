@@ -1,5 +1,14 @@
 """Device-side operations: periodic geometry, cell lists, deposit passes."""
 
+from .cells import CellList, build_cell_list, linear_cell_id, morton_encode_3d
+from .deposit import MapSpec, deposit_2d, deposit_2d_fixed_h, deposit_weighted_mean
+from .deposit_pallas import PALLAS_LEVELS, deposit_2d_auto, deposit_2d_pallas
+from .grid3d import GridSpec, deposit_3d
+from .interp import cubic_spline_1d, regular_grid_interpolate
+from .neighbors import knn_distances, nearest_points, nearest_points_device
+from .reorder import ArrayMapping, ArrayReorder, MatchPlan, match_ids
+from .sightlines import column_integrate, los_profiles
+
 from .periodic import (
     calculate_periodic,
     make_periodic,
@@ -10,6 +19,30 @@ from .periodic import (
 )
 
 __all__ = [
+    "ArrayMapping",
+    "ArrayReorder",
+    "CellList",
+    "GridSpec",
+    "MapSpec",
+    "MatchPlan",
+    "PALLAS_LEVELS",
+    "build_cell_list",
+    "column_integrate",
+    "cubic_spline_1d",
+    "deposit_2d",
+    "deposit_2d_auto",
+    "deposit_2d_fixed_h",
+    "deposit_2d_pallas",
+    "deposit_3d",
+    "deposit_weighted_mean",
+    "knn_distances",
+    "linear_cell_id",
+    "los_profiles",
+    "match_ids",
+    "morton_encode_3d",
+    "nearest_points",
+    "nearest_points_device",
+    "regular_grid_interpolate",
     "calculate_periodic",
     "make_periodic",
     "shift_centre",

@@ -1,1 +1,19 @@
-"""astro_sph_tools_tpu.parallel"""
+"""Mesh-parallel execution: sharded deposits and distributed reorder."""
+
+from .reorder import distributed_reorder
+from .sharded import (
+    deposit_2d_sharded,
+    deposit_3d_sharded,
+    make_mesh,
+    pad_for_mesh,
+    partition_particles_by_slab,
+)
+
+__all__ = [
+    "deposit_2d_sharded",
+    "deposit_3d_sharded",
+    "distributed_reorder",
+    "make_mesh",
+    "pad_for_mesh",
+    "partition_particles_by_slab",
+]

@@ -1,0 +1,153 @@
+"""High-level rendering API: snapshot -> multi-field map stacks.
+
+The user-facing composition of the IO layer and the deposit engines — the
+working realisation of the reference's intended ``create_image`` surface
+(`tools/projections/_projector.py:75-120`, broken in-tree). One call reads
+the needed fields, stacks the deposit payloads (weighted quantities ride the
+same fused pass as the weights), renders on the chosen engine, and derives
+weighted means.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .data_structures.particle_types import CoordinateAxes, ParticleType
+from .io.snapshot import SnapshotBase
+from .ops.deposit import MapSpec, deposit_2d
+from .ops.deposit_pallas import deposit_2d_auto
+from .utils.profiling import PhaseTimer
+
+# field name -> (payload builder, weighted?)
+_KNOWN_FIELDS = ("density", "mass", "temperature", "metallicity", "velocity_los", "sfr")
+
+
+@dataclass
+class MapStack:
+    """Result of a render: named maps + derived weighted means."""
+
+    maps: dict
+    spec: MapSpec
+    axis: CoordinateAxes
+    particle_type: ParticleType
+    timings: dict = field(default_factory=dict)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self.maps[name]
+
+    def keys(self):
+        return self.maps.keys()
+
+
+def render_map_stack(
+    snapshot: SnapshotBase,
+    fields: Sequence[str] = ("density",),
+    *,
+    particle_type: ParticleType = ParticleType.gas,
+    axis: CoordinateAxes = CoordinateAxes.Z,
+    resolution: int = 1024,
+    extent: Optional[tuple] = None,
+    kernel: str = "cubic_spline",
+    engine: str = "pallas",
+    projection: str = "kernel3d",
+    periodic: Optional[bool] = None,
+) -> MapStack:
+    """Render a stack of SPH-projected maps from a snapshot.
+
+    fields: any of "density" (surface density), "mass", "sfr", and the
+    mass-weighted quantities "temperature", "metallicity", "velocity_los"
+    (weighted means are derived automatically from a mass map that rides the
+    same fused deposit pass).
+    """
+    timer = PhaseTimer()
+    i, j = axis.projection_plane
+    box = float(snapshot.box_size.value[0])
+    if extent is None:
+        extent = (0.0, box, 0.0, box)
+        if periodic is None:
+            periodic = True
+    periodic = bool(periodic)
+
+    with timer.phase("io"):
+        pos = snapshot.get_positions(particle_type).to_value("Mpc")
+        h = snapshot.get_smoothing_lengths(particle_type).to_value("Mpc")
+        if particle_type == ParticleType.black_hole:
+            mass = snapshot.get_black_hole_dynamical_masses().to_value("Msun")
+        else:
+            mass = snapshot.get_masses(particle_type).to_value("Msun")
+
+        payloads: list = []
+        names: list = []
+        weighted: list = []
+        for name in fields:
+            if name == "density":
+                payloads.append(mass)
+                names.append("surface_density")
+            elif name == "mass":
+                payloads.append(mass)
+                names.append("mass")
+            elif name == "sfr":
+                payloads.append(snapshot.get_sfr().to_value("Msun/yr"))
+                names.append("sfr")
+            elif name == "temperature":
+                payloads.append(mass * snapshot.get_temperatures(particle_type).to_value("K"))
+                names.append("mass_weighted_temperature")
+                weighted.append("mass_weighted_temperature")
+            elif name == "metallicity":
+                payloads.append(mass * snapshot.get_metallicities(particle_type).value)
+                names.append("mass_weighted_metallicity")
+                weighted.append("mass_weighted_metallicity")
+            elif name == "velocity_los":
+                v = snapshot.get_velocities(particle_type).to_value("km/s")
+                los_axis = axis.value
+                payloads.append(mass * v[:, los_axis])
+                names.append("mass_weighted_velocity_los")
+                weighted.append("mass_weighted_velocity_los")
+            else:
+                raise ValueError(f"Unknown map field {name!r}; known: {_KNOWN_FIELDS}")
+        if weighted and "surface_density" not in names and "mass" not in names:
+            payloads.append(mass)
+            names.append("mass")
+
+    spec = MapSpec(
+        shape=(resolution, resolution),
+        extent=tuple(float(v) for v in extent),
+        periodic_wrap=periodic,
+    )
+    values = np.stack(payloads, axis=0)
+
+    with timer.phase("deposit"):
+        if engine == "pallas":
+            maps = deposit_2d_auto(pos[:, i], pos[:, j], h, values, spec, kernel=kernel)
+        elif engine == "xla":
+            maps = deposit_2d(
+                pos[:, i], pos[:, j], h, values.T, spec, kernel=kernel, projection=projection
+            )
+            maps = np.moveaxis(np.asarray(maps), -1, 0)
+        else:
+            raise ValueError(f"Unknown engine {engine!r} (pallas | xla)")
+        maps = np.asarray(maps)
+        if maps.ndim == 2:
+            maps = maps[None]
+
+    result = {name: m for name, m in zip(names, maps)}
+    with timer.phase("derive"):
+        denom_name = "mass" if "mass" in result else (
+            "surface_density" if "surface_density" in result else None
+        )
+        if denom_name:
+            denom = result[denom_name]
+            for name in weighted:
+                mean = np.where(denom > 0, result[name] / np.maximum(denom, 1e-30), 0.0)
+                result[name.replace("mass_weighted", "mean")] = mean
+
+    return MapStack(
+        maps=result,
+        spec=spec,
+        axis=axis,
+        particle_type=particle_type,
+        timings=timer.report(),
+    )

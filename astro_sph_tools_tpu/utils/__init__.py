@@ -1,1 +1,32 @@
-"""astro_sph_tools_tpu.utils"""
+"""Utilities: console/logging/settings, timing, profiling."""
+
+from .console import (
+    Settings,
+    Stopwatch,
+    print_debug,
+    print_error,
+    print_info,
+    print_verbose_info,
+    print_verbose_warning,
+    print_warning,
+    settings,
+    show_times,
+    timed_phase,
+)
+from .profiling import PhaseTimer, device_trace
+
+__all__ = [
+    "PhaseTimer",
+    "Settings",
+    "Stopwatch",
+    "device_trace",
+    "print_debug",
+    "print_error",
+    "print_info",
+    "print_verbose_info",
+    "print_verbose_warning",
+    "print_warning",
+    "settings",
+    "show_times",
+    "timed_phase",
+]
