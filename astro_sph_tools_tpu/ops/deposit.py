@@ -249,18 +249,19 @@ def _dense_pass(
     return image_flat
 
 
-def _pad_to_multiple(arrays: Sequence[np.ndarray], multiple: int):
+def _pad_to_multiple(arrays: Sequence[np.ndarray], multiple: int, h_index: int = 2):
+    """Pad leading axes to a chunk multiple; the smoothing-length array
+    (``h_index``) is padded with 1.0 to avoid division by zero."""
     n = arrays[0].shape[0]
     padded_n = max(multiple, ((n + multiple - 1) // multiple) * multiple)
     out = []
-    for a in arrays:
+    for i, a in enumerate(arrays):
         pad = padded_n - n
         if pad == 0:
             out.append(a)
         else:
             pad_width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-            fill = 1.0 if a is arrays[2] else 0.0  # h padded with 1 to avoid /0
-            out.append(np.pad(a, pad_width, constant_values=fill))
+            out.append(np.pad(a, pad_width, constant_values=1.0 if i == h_index else 0.0))
     return out
 
 

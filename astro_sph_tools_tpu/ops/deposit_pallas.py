@@ -87,6 +87,9 @@ PALLAS_LEVELS: tuple[PallasDepositConfig, ...] = (
     PallasDepositConfig(K=8),
     PallasDepositConfig(K=16),
     PallasDepositConfig(K=32),
+    PallasDepositConfig(K=64),  # deep maps: 1024^2 over a full box puts
+    # typical SPH footprints at 10-30 px; without this level they would
+    # spill to the slow XLA dense path
 )
 
 
@@ -329,6 +332,10 @@ def _prepare_impl(
     return packed, block_start, pstart, pcount, nchunks
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 def prepare_tiled_particles(
     x, y, h, values, spec: MapSpec, cfg: PallasDepositConfig,
     *, n_tiles_x: int, n_tiles_y: int, tx: int,
@@ -338,6 +345,11 @@ def prepare_tiled_particles(
     One fused jit program (sort + ranges + pack); the only host sync is the
     jmax reduction sizing the grid — amortised over every field/map rendered
     from the same particle set.
+
+    The particle count is padded to the next power of two so compiled
+    programs are reused across snapshots/levels (data-dependent level-subset
+    sizes would otherwise force a fresh ~70s XLA sort compile per render).
+    Padding particles carry h = 1 with value 0 and sort to the last tile.
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
@@ -348,6 +360,17 @@ def prepare_tiled_particles(
     n_fields = values.shape[0]
     if n_fields > 5:
         raise ValueError("pallas deposit supports at most 5 fields per pass")
+
+    n = x.shape[0]
+    n_bucket = max(_CHUNK, _next_pow2(n))
+    if n_bucket != n:
+        pad = n_bucket - n
+        x0, x1, y0, y1 = spec.extent
+        # park padding at the extent max: clipped into the last tile, weight 0
+        x = jnp.pad(x, (0, pad), constant_values=float(x1))
+        y = jnp.pad(y, (0, pad), constant_values=float(y1))
+        h = jnp.pad(h, (0, pad), constant_values=1.0)
+        values = jnp.pad(values, ((0, 0), (0, pad)))
 
     packed, block_start, pstart, pcount, nchunks = _prepare_impl(
         x, y, h, values,
@@ -361,7 +384,10 @@ def prepare_tiled_particles(
         tx=tx,
     )
     jmax = int(jnp.max(nchunks)) if x.shape[0] else 1  # host sync
-    return packed, block_start, pstart, pcount, nchunks, max(jmax, 1), n_fields
+    # bucket the grid's chunk dimension too: jmax is a static grid size, so
+    # distinct values would recompile the pallas call (skipped steps are cheap)
+    jmax = _next_pow2(max(jmax, 1))
+    return packed, block_start, pstart, pcount, nchunks, jmax, n_fields
 
 
 def deposit_2d_pallas(

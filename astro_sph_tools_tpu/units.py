@@ -149,33 +149,19 @@ def parse_unit(expression: Union[str, Unit]) -> Unit:
     return Unit(result.scale, result.dims, expression)
 
 
-def _parse_product(text: str) -> Unit:
-    result = DIMENSIONLESS
-    for atom in text.split("*"):
-        atom = atom.strip()
-        if not atom:
-            continue
-        result = result * _parse_atom(atom)
-    # handle '**' which the split above breaks: re-parse via tokens
-    return result
-
-
 def _parse_atom(atom: str) -> Unit:
-    # '**' exponents survive as 'sym**n' split into ['sym', '', 'n'] by
-    # split('*'); _parse_product skips the empty piece, so exponent atoms are
-    # handled here via a stash set by the tokenizer below.
     if atom in _REGISTRY:
         return _REGISTRY[atom]
     raise UnknownUnitError(f"Unknown unit symbol: {atom!r}")
 
 
-# The naive split above mangles '**'; implement properly with a tokenizer.
-def _tokenize_product(text: str) -> Unit:
+def _parse_product(text: str) -> Unit:
+    """Parse a '*'-separated product, keeping '**exponent' attached to its
+    symbol (a plain split on '*' would mangle it)."""
     result = DIMENSIONLESS
-    i = 0
     tokens: list[str] = []
-    # split on single '*' but keep '**exponent' attached to its symbol
     buf = ""
+    i = 0
     while i < len(text):
         if text[i] == "*":
             if i + 1 < len(text) and text[i + 1] == "*":
@@ -195,15 +181,10 @@ def _tokenize_product(text: str) -> Unit:
             continue
         if "**" in token:
             symbol, _, exponent = token.partition("**")
-            base = _parse_atom(symbol.strip())
-            result = result * (base ** Fraction(exponent.strip()))
+            result = result * (_parse_atom(symbol.strip()) ** Fraction(exponent.strip()))
         else:
             result = result * _parse_atom(token)
     return result
-
-
-# Overwrite the naive implementation with the correct tokenizer.
-_parse_product = _tokenize_product  # noqa: F811
 
 
 # --- UnitArray ---------------------------------------------------------------
@@ -342,17 +323,11 @@ class UnitArray:
         return f"UnitArray({self.value!r}, '{self.units.symbol}')"
 
     def sqrt(self) -> "UnitArray":
-        import numpy as _np
+        if isinstance(self.value, np.ndarray) or np.isscalar(self.value):
+            return UnitArray(np.sqrt(self.value), self.units ** Fraction(1, 2))
+        import jax.numpy as jnp
 
-        xp = _np if isinstance(self.value, _np.ndarray) else type(self.value)
-        try:
-            import jax.numpy as jnp
-
-            if not isinstance(self.value, _np.ndarray):
-                return UnitArray(jnp.sqrt(self.value), self.units**0.5)
-        except ImportError:  # pragma: no cover
-            pass
-        return UnitArray(_np.sqrt(self.value), self.units**0.5)
+        return UnitArray(jnp.sqrt(self.value), self.units ** Fraction(1, 2))
 
     def sum(self, axis=None) -> "UnitArray":
         return UnitArray(self.value.sum(axis=axis), self.units)
