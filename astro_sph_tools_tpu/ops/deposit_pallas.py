@@ -537,6 +537,12 @@ def deposit_2d_auto(
         idx = np.nonzero(level_idx == li)[0]
         if idx.size == 0:
             continue
+        try:
+            _choose_tx(cfg, nx, spec.periodic_wrap)
+        except ValueError:
+            # level cannot tile this (small) map: route to the XLA fallback
+            level_idx[idx] = len(PALLAS_LEVELS)
+            continue
         img = deposit_2d_pallas(
             x[idx], y[idx], h_np[idx], values_np[:, idx], spec,
             kernel=kernel, precision=precision, level=cfg, interpret=interpret,
