@@ -4,6 +4,7 @@ from .cells import CellList, build_cell_list, linear_cell_id, morton_encode_3d
 from .deposit import MapSpec, deposit_2d, deposit_2d_fixed_h, deposit_weighted_mean
 from .deposit_pallas import PALLAS_LEVELS, deposit_2d_auto, deposit_2d_pallas
 from .grid3d import GridSpec, deposit_3d
+from .grid3d_pallas import PALLAS_3D_LEVELS, deposit_3d_auto, deposit_3d_pallas
 from .interp import cubic_spline_1d, regular_grid_interpolate
 from .neighbors import knn_distances, nearest_points, nearest_points_device
 from .reorder import ArrayMapping, ArrayReorder, MatchPlan, match_ids
@@ -34,6 +35,9 @@ __all__ = [
     "deposit_2d_fixed_h",
     "deposit_2d_pallas",
     "deposit_3d",
+    "deposit_3d_auto",
+    "deposit_3d_pallas",
+    "PALLAS_3D_LEVELS",
     "deposit_weighted_mean",
     "knn_distances",
     "linear_cell_id",

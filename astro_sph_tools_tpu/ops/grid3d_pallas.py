@@ -1,0 +1,481 @@
+"""Fused Pallas 3D voxel deposit (BASELINE config 3 at speed).
+
+The 2D fused-deposit architecture (``deposit_pallas``) generalised to voxel
+cubes: particles are binned to (TZ, TY, TX)-voxel tiles, one device sort
+groups them, and a Pallas grid accumulates each tile's extended block
+(TZ+K, TY+K, TX+K) in VMEM. The accumulator flattens (z, y) into the sublane
+dimension — rows r decode to (rz = r // Ry, ry = r % Ry) with pure 2D integer
+ops, so the kernel never builds >2D tensors (a Mosaic-friendliness lesson
+from the 2D kernel). Column placement is the same exact one-hot MXU matmul;
+halo resolution is a 27-band (3 axes) overlap-add of regular slices.
+
+Numerics: grid value = sum_i value_i * W(|r_i|, h_i) with the full 3D kernel
+at the true voxel-sample distance — identical to ``ops.grid3d`` and the f64
+oracle. Precision modes as in 2D (default split-bf16, <=1e-5 class).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernels.splines import get_kernel
+from .deposit_pallas import _next_pow2
+from .grid3d import GridSpec
+
+Array = jax.Array
+
+_CHUNK = 512
+_LANES = 128
+
+
+@dataclass(frozen=True)
+class Pallas3DConfig:
+    """Static geometry of one 3D footprint level."""
+
+    K: int  # voxel window per axis = max footprint diameter + slack
+    TZ: int = 4
+    TY: int = 4
+    S: int = _LANES
+
+    @property
+    def M(self) -> int:
+        return self.K // 2
+
+    @property
+    def RZ(self) -> int:
+        return self.TZ + self.K
+
+    @property
+    def RY(self) -> int:
+        return self.TY + self.K
+
+    @property
+    def R(self) -> int:
+        return self.RZ * self.RY
+
+    @property
+    def default_tx(self) -> int:
+        return self.S - self.K
+
+    @property
+    def max_s_vox(self) -> float:
+        return (self.K - 2) / 2
+
+
+# Tile heights are sized so the per-tile scalar-prefetch tables fit SMEM
+# (~1 MB): a 512^3 grid with 4x4 tiles needs 131k tiles x 2 arrays = over
+# budget; 8x8 tiles keep it at ~256 KB.
+PALLAS_3D_LEVELS: tuple[Pallas3DConfig, ...] = (
+    Pallas3DConfig(K=4, TZ=8, TY=8),
+    Pallas3DConfig(K=8, TZ=8, TY=8),
+    Pallas3DConfig(K=16, TZ=4, TY=4),
+)
+
+
+def _deposit3d_kernel(
+    pstart_ref, pcount_ref,
+    chunk_ref,  # (1, 8, C): channels [u, v, w, h, val0..val3]
+    acc_ref,  # (1, F*R, S)
+    *,
+    cfg: Pallas3DConfig,
+    C: int,
+    n_fields: int,
+    n_tiles_x: int,
+    n_tiles_y: int,
+    tx: int,
+    kernel_name: str,
+    psx: float,
+    psy: float,
+    psz: float,
+    offset: float,
+    precision: str,
+):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    K, R, RZ, RY, S, TZ, TY, M = (
+        cfg.K, cfg.R, cfg.RZ, cfg.RY, cfg.S, cfg.TZ, cfg.TY, cfg.M,
+    )
+    kernel = get_kernel(kernel_name)
+
+    @pl.when(j == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # block_start and nchunks derive from (pstart, pcount): prefetching them
+    # as separate tables would double the SMEM footprint
+    block_start = pstart_ref[t] // C
+    nchunks = (pstart_ref[t] + pcount_ref[t] + C - 1) // C - block_start
+
+    @pl.when(j < nchunks)
+    def _work():
+        data = chunk_ref[0]  # (8, C)
+        u = data[0:1, :]  # voxel-space x
+        v = data[1:2, :]  # voxel-space y
+        w_ = data[2:3, :]  # voxel-space z
+        h = data[3:4, :]  # world-unit smoothing length
+
+        base = (block_start + j) * C
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        gidx = base + lane
+        valid = (gidx >= pstart_ref[t]) & (gidx < pstart_ref[t] + pcount_ref[t])
+
+        # tile coordinates: t = (tz * nty + ty) * ntx + txi
+        txi = t % n_tiles_x
+        tyi = (t // n_tiles_x) % n_tiles_y
+        tzi = t // (n_tiles_x * n_tiles_y)
+        u_loc = u - (txi * tx - M).astype(jnp.float32)
+        v_loc = v - (tyi * TY - M).astype(jnp.float32)
+        w_loc = w_ - (tzi * TZ - M).astype(jnp.float32)
+
+        col0 = jnp.floor(u_loc - offset + 0.5).astype(jnp.int32) - (K // 2)
+
+        # (R, C): row r decodes to (rz, ry) with 2D integer ops only
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        rz = (r_iota // RY).astype(jnp.float32)
+        ry = (r_iota % RY).astype(jnp.float32)
+        dzp = (rz + offset - w_loc) * psz
+        dyp = (ry + offset - v_loc) * psy
+        dyz2 = dzp * dzp + dyp * dyp
+
+        col0_s = col0.reshape(C, 1)
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        vals = data[4 : 4 + n_fields, :]
+
+        def k_step(k, contrib):
+            dxk = ((col0 + k).astype(jnp.float32) + offset - u_loc) * psx
+            r = jnp.sqrt(dyz2 + dxk * dxk)
+            wk = kernel.w(r, h)
+            wk = jnp.where(valid, wk, 0.0)
+            w_rows = jnp.concatenate(
+                [wk * vals[f : f + 1, :] for f in range(n_fields)], axis=0
+            )
+            Pk = s_iota == (col0_s + k)
+            if precision == "f32":
+                return contrib + jnp.dot(
+                    w_rows, Pk.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            if precision == "bf16":
+                return contrib + jnp.dot(
+                    w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            Pb = Pk.astype(jnp.bfloat16)
+            hi = w_rows.astype(jnp.bfloat16)
+            lo = (w_rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (
+                contrib
+                + jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
+                + jnp.dot(lo, Pb, preferred_element_type=jnp.float32)
+            )
+
+        contrib = jax.lax.fori_loop(
+            0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
+        )
+        acc_ref[0] += contrib
+
+
+def _bands(margin: int, period: int):
+    out = []
+    o = -margin
+    while o < period + margin:
+        p = o // period
+        end = min((p + 1) * period, period + margin)
+        out.append((o + margin, end - o, p, o - p * period))
+        o = end
+    return out
+
+
+def _overlap_add_3d(
+    tiles: Array,  # (n_tiles, F*R, S)
+    cfg: Pallas3DConfig,
+    tx: int,
+    ntz: int,
+    nty: int,
+    ntx: int,
+    n_fields: int,
+    nz: int,
+    ny: int,
+    nx: int,
+    periodic: bool,
+) -> Array:
+    RZ, RY, TZ, TY, M = cfg.RZ, cfg.RY, cfg.TZ, cfg.TY, cfg.M
+    t = tiles.reshape(ntz, nty, ntx, n_fields, RZ, RY, cfg.S)
+    t = t[..., : tx + 2 * M]  # drop lane padding
+    t = t.transpose(3, 0, 1, 2, 4, 5, 6)  # (F, ntz, nty, ntx, RZ, RY, SX)
+
+    img = jnp.zeros((n_fields, ntz, TZ, nty, TY, ntx, tx), dtype=tiles.dtype)
+
+    def shift(a, axis, p):
+        if p == 0:
+            return a
+        if periodic:
+            return jnp.roll(a, p, axis=axis)
+        pad = [(0, 0)] * a.ndim
+        idx = [slice(None)] * a.ndim
+        if p > 0:
+            pad[axis] = (p, 0)
+            idx[axis] = slice(0, a.shape[axis])
+        else:
+            pad[axis] = (0, -p)
+            idx[axis] = slice(-p, a.shape[axis] - p)
+        return jnp.pad(a, pad)[tuple(idx)]
+
+    for z0, zh, zps, zoff in _bands(M, TZ):
+        for y0, yh, yps, yoff in _bands(M, TY):
+            for x0, xw, xps, xoff in _bands(M, tx):
+                band = t[:, :, :, :, z0 : z0 + zh, y0 : y0 + yh, x0 : x0 + xw]
+                band = shift(band, 1, zps)
+                band = shift(band, 2, yps)
+                band = shift(band, 3, xps)
+                # (F, ntz, zh, nty, yh, ntx, xw)
+                band = band.transpose(0, 1, 4, 2, 5, 3, 6)
+                img = img.at[
+                    :, :, zoff : zoff + zh, :, yoff : yoff + yh, :, xoff : xoff + xw
+                ].add(band)
+
+    img = img.reshape(n_fields, ntz * TZ, nty * TY, ntx * tx)
+    return img[:, :nz, :ny, :nx]
+
+
+def _choose_tx_3d(cfg: Pallas3DConfig, nx: int, periodic: bool) -> int:
+    if not periodic:
+        return cfg.default_tx
+    tx = min(cfg.default_tx, nx)
+    while tx > cfg.M and nx % tx != 0:
+        tx -= 1
+    if tx <= cfg.M or nx % tx:
+        raise ValueError(f"no valid periodic tile width for nx={nx}, level K={cfg.K}")
+    return tx
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_fields", "extent", "shape", "periodic", "tz", "ty", "tx",
+        "n_tiles_x", "n_tiles_y", "n_tiles_z",
+    ),
+)
+def _prepare3d_impl(
+    pos, h, values,
+    *, n_fields, extent, shape, periodic, tz, ty, tx,
+    n_tiles_x, n_tiles_y, n_tiles_z,
+):
+    C = _CHUNK
+    x0, x1, y0, y1, z0, z1 = extent
+    nz, ny, nx = shape
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    psz = (z1 - z0) / nz
+
+    u = (pos[:, 0] - x0) / psx
+    v = (pos[:, 1] - y0) / psy
+    w_ = (pos[:, 2] - z0) / psz
+    if periodic:
+        u = jnp.mod(u, nx)
+        v = jnp.mod(v, ny)
+        w_ = jnp.mod(w_, nz)
+
+    txi = jnp.clip((u / tx).astype(jnp.int32), 0, n_tiles_x - 1)
+    tyi = jnp.clip((v / ty).astype(jnp.int32), 0, n_tiles_y - 1)
+    tzi = jnp.clip((w_ / tz).astype(jnp.int32), 0, n_tiles_z - 1)
+    tile_id = ((tzi * n_tiles_y + tyi) * n_tiles_x + txi).astype(jnp.int32)
+
+    operands = [tile_id, u, v, w_, h] + [values[f] for f in range(n_fields)]
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    tile_sorted = sorted_ops[0]
+    n = u.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y * n_tiles_z
+
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    pstart = jnp.searchsorted(tile_sorted, tile_range).astype(jnp.int32)
+    pend = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
+    pcount = pend - pstart
+    nchunks = (pend + C - 1) // C - pstart // C
+
+    n_pad = max(C, ((n + C - 1) // C) * C)
+    n_rows = n_pad // C
+
+    def pack(a):
+        return jnp.pad(a, (0, n_pad - n)).reshape(n_rows, C)
+
+    channels = [pack(sorted_ops[1]), pack(sorted_ops[2]), pack(sorted_ops[3]), pack(sorted_ops[4])]
+    channels += [pack(sorted_ops[5 + f]) for f in range(n_fields)]
+    channels += [jnp.zeros((n_rows, C), jnp.float32)] * (8 - len(channels))
+    packed = jnp.stack(channels, axis=1)
+    return packed, pstart, pcount, nchunks
+
+
+@lru_cache(maxsize=256)
+def _cached_3d_call(
+    cfg, n_tiles, n_tiles_x, n_tiles_y, jmax, n_rows, n_fields, tx,
+    kernel, psx, psy, psz, offset, precision, interpret,
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, jmax),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, _CHUNK),
+                # clamp: blocks are DMA'd even for pl.when-skipped steps
+                lambda t, j, ps, pc: (jnp.minimum(ps[t] // _CHUNK + j, n_rows - 1), 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_fields * cfg.R, cfg.S), lambda t, j, ps, pc: (t, 0, 0)
+        ),
+    )
+    kern = partial(
+        _deposit3d_kernel,
+        cfg=cfg, C=_CHUNK, n_fields=n_fields,
+        n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tx=tx,
+        kernel_name=kernel, psx=psx, psy=psy, psz=psz,
+        offset=offset, precision=precision,
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_fields * cfg.R, cfg.S), jnp.float32),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+@lru_cache(maxsize=256)
+def _cached_3d_overlap(cfg, tx, ntz, nty, ntx, n_fields, nz, ny, nx, periodic):
+    return jax.jit(
+        lambda tiles: _overlap_add_3d(
+            tiles, cfg, tx, ntz, nty, ntx, n_fields, nz, ny, nx, periodic
+        )
+    )
+
+
+def deposit_3d_pallas(
+    pos, h, values, spec: GridSpec,
+    *,
+    kernel: str = "cubic_spline",
+    precision: str = "bf16x2",
+    level: Optional[Pallas3DConfig] = None,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Single-level fused 3D deposit: (nz, ny, nx) or (F, nz, ny, nx).
+
+    Footprints must fit the level (``support_factor * h / voxel <=
+    level.max_s_vox``); use :func:`deposit_3d_auto` for mixed footprints.
+    """
+    cfg = level or PALLAS_3D_LEVELS[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nz, ny, nx = spec.shape
+    x0, x1, y0, y1, z0, z1 = spec.extent
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    psz = (z1 - z0) / nz
+
+    tx = _choose_tx_3d(cfg, nx, spec.periodic_wrap)
+    ntx = (nx + tx - 1) // tx
+    nty = (ny + cfg.TY - 1) // cfg.TY
+    ntz = (nz + cfg.TZ - 1) // cfg.TZ
+    if spec.periodic_wrap and (ny % cfg.TY or nz % cfg.TZ):
+        raise ValueError("periodic 3D pallas deposit requires TY | ny and TZ | nz")
+
+    pos = jnp.asarray(pos, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    values = jnp.asarray(values, jnp.float32)
+    if values.ndim == 1:
+        values = values[None, :]
+    n_fields = values.shape[0]
+    if n_fields > 4:
+        raise ValueError("3D pallas deposit supports at most 4 fields per pass")
+
+    n = pos.shape[0]
+    n_bucket = max(_CHUNK, _next_pow2(n))
+    if n_bucket != n:
+        pad = n_bucket - n
+        pos = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=float(x1))
+        h = jnp.pad(h, (0, pad), constant_values=1.0)
+        values = jnp.pad(values, ((0, 0), (0, pad)))
+
+    packed, pstart, pcount, nchunks = _prepare3d_impl(
+        pos, h, values,
+        n_fields=n_fields,
+        extent=tuple(float(e) for e in spec.extent),
+        shape=spec.shape,
+        periodic=spec.periodic_wrap,
+        tz=cfg.TZ, ty=cfg.TY, tx=tx,
+        n_tiles_x=ntx, n_tiles_y=nty, n_tiles_z=ntz,
+    )
+    jmax = _next_pow2(max(int(jnp.max(nchunks)), 1))
+
+    tiles = _cached_3d_call(
+        cfg, ntx * nty * ntz, ntx, nty, jmax, packed.shape[0], n_fields, tx,
+        kernel, psx, psy, psz, spec.sample_offset, precision, interpret,
+    )(pstart, pcount, packed)
+
+    grid = _cached_3d_overlap(cfg, tx, ntz, nty, ntx, n_fields, nz, ny, nx, spec.periodic_wrap)(
+        tiles
+    )
+    return grid[0] if n_fields == 1 else grid
+
+
+def deposit_3d_auto(
+    pos, h, values, spec: GridSpec,
+    *,
+    kernel: str = "cubic_spline",
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
+):
+    """Adaptive-h 3D deposit across Pallas levels with XLA fallback."""
+    from .grid3d import deposit_3d
+
+    pos = np.asarray(pos)
+    h_np = np.asarray(h)
+    values_np = np.asarray(values)
+    single = values_np.ndim == 1
+    if single:
+        values_np = values_np[None, :]
+    kspec = get_kernel(kernel)
+    voxel = min(spec.voxel_size)
+    s_vox = kspec.support_factor * h_np / voxel
+    bounds = [cfg.max_s_vox for cfg in PALLAS_3D_LEVELS]
+    level_idx = np.searchsorted(np.asarray(bounds), s_vox, side="left")
+
+    nz, ny, nx = spec.shape
+    total = jnp.zeros((values_np.shape[0], nz, ny, nx), jnp.float32)
+    for li, cfg in enumerate(PALLAS_3D_LEVELS):
+        idx = np.nonzero(level_idx == li)[0]
+        if idx.size == 0:
+            continue
+        try:
+            _choose_tx_3d(cfg, nx, spec.periodic_wrap)
+            if spec.periodic_wrap and (ny % cfg.TY or nz % cfg.TZ):
+                raise ValueError("tile mismatch")
+        except ValueError:
+            level_idx[idx] = len(PALLAS_3D_LEVELS)
+            continue
+        grid = deposit_3d_pallas(
+            pos[idx], h_np[idx], values_np[:, idx], spec,
+            kernel=kernel, precision=precision, level=cfg, interpret=interpret,
+        )
+        total = total + (grid[None] if grid.ndim == 3 else grid)
+
+    oversize = np.nonzero(level_idx >= len(PALLAS_3D_LEVELS))[0]
+    if oversize.size:
+        grid = deposit_3d(
+            pos[oversize], h_np[oversize], values_np[:, oversize].T, spec, kernel=kernel
+        )
+        grid = np.asarray(grid)
+        total = total + (
+            jnp.asarray(grid)[None] if grid.ndim == 3 else jnp.moveaxis(jnp.asarray(grid), -1, 0)
+        )
+
+    return total[0] if single else total

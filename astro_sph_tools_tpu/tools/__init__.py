@@ -10,6 +10,7 @@ intended (`tools/projections`, broken in-tree — SURVEY.md §2.9.1).
 from ..ops.deposit import MapSpec, deposit_2d, deposit_weighted_mean
 from ..ops.deposit_pallas import deposit_2d_auto, deposit_2d_pallas
 from ..ops.grid3d import GridSpec, deposit_3d
+from ..ops.grid3d_pallas import deposit_3d_auto, deposit_3d_pallas
 from ..ops.periodic import (
     calculate_periodic,
     make_periodic,
@@ -38,6 +39,8 @@ __all__ = [
     "deposit_2d_auto",
     "deposit_2d_pallas",
     "deposit_3d",
+    "deposit_3d_auto",
+    "deposit_3d_pallas",
     "deposit_weighted_mean",
     "los_profiles",
     "make_periodic",
