@@ -53,6 +53,9 @@ def _pad_chunk(arrays, chunk, h_index):
     return out
 
 
+_RAY_TILE = 1024
+
+
 @partial(jax.jit, static_argnames=("kernel_name", "projection", "chunk", "periodic_box"))
 def _column_integrate_impl(
     px, py, h, values, ray_x, ray_y, lut,
@@ -62,31 +65,40 @@ def _column_integrate_impl(
     S = kernel.support_factor
     n_chunks = px.shape[0] // chunk
     reshape = lambda a: a.reshape(n_chunks, chunk, *a.shape[1:])
-    totals0 = jnp.zeros((values.shape[1], ray_x.shape[0]), jnp.float32)
+    # rays are tiled too: an unbounded (R, C) block at 1e4 rays x 8k chunk
+    # is multi-GB of fused intermediates — enough to OOM-crash the device
+    n_ray_tiles = ray_x.shape[0] // _RAY_TILE
+    rx_t = ray_x.reshape(n_ray_tiles, _RAY_TILE)
+    ry_t = ray_y.reshape(n_ray_tiles, _RAY_TILE)
+    totals0 = jnp.zeros((values.shape[1], n_ray_tiles, _RAY_TILE), jnp.float32)
 
     def body(tot, inputs):
         cx, cy, ch, cv = inputs
-        dx = ray_x[:, None] - cx[None, :]
-        dy = ray_y[:, None] - cy[None, :]
-        if periodic_box is not None:
-            box = periodic_box
-            dx = dx - jnp.round(dx / box) * box
-            dy = dy - jnp.round(dy / box) * box
-        b2 = dx * dx + dy * dy  # (R, C)
-        b = jnp.sqrt(b2)
-        if projection == "integrated":
-            w = integrated_kernel_lookup(lut, b, ch[None, :], S)
-        else:
-            w = kernel.w(b, ch[None, :])
-        w = jnp.where(b2 < (S * ch[None, :]) ** 2, w, 0.0)
-        # (F, R) += (F, C) @ (C, R)
-        tot = tot + jnp.einsum("cf,rc->fr", cv, w)
+
+        def ray_tile(rt, tot):
+            dx = rx_t[rt][:, None] - cx[None, :]
+            dy = ry_t[rt][:, None] - cy[None, :]
+            if periodic_box is not None:
+                box = periodic_box
+                dx = dx - jnp.round(dx / box) * box
+                dy = dy - jnp.round(dy / box) * box
+            b2 = dx * dx + dy * dy  # (RT, C)
+            b = jnp.sqrt(b2)
+            if projection == "integrated":
+                w = integrated_kernel_lookup(lut, b, ch[None, :], S)
+            else:
+                w = kernel.w(b, ch[None, :])
+            w = jnp.where(b2 < (S * ch[None, :]) ** 2, w, 0.0)
+            # (F, RT) += (F, C) @ (C, RT)
+            return tot.at[:, rt, :].add(jnp.einsum("cf,rc->fr", cv, w))
+
+        tot = jax.lax.fori_loop(0, n_ray_tiles, ray_tile, tot)
         return tot, None
 
     totals, _ = jax.lax.scan(
         body, totals0, (reshape(px), reshape(py), reshape(h), reshape(values))
     )
-    return totals
+    return totals.reshape(values.shape[1], -1)
 
 
 def column_integrate(
@@ -114,12 +126,16 @@ def column_integrate(
         else jnp.zeros(2, jnp.float32)
     )
     px, py, hh, vv = _pad_chunk([x, y, h, values], chunk, h_index=2)
+    # pad rays to a tile multiple (padding rays are discarded afterwards)
+    n_rays = np.asarray(ray_x).shape[0]
+    n_ray_pad = max(_RAY_TILE, ((n_rays + _RAY_TILE - 1) // _RAY_TILE) * _RAY_TILE)
+    rx = jnp.asarray(np.pad(np.asarray(ray_x, np.float32), (0, n_ray_pad - n_rays)))
+    ry = jnp.asarray(np.pad(np.asarray(ray_y, np.float32), (0, n_ray_pad - n_rays)))
     totals = _column_integrate_impl(
-        px, py, hh, vv,
-        jnp.asarray(ray_x, jnp.float32), jnp.asarray(ray_y, jnp.float32), lut,
+        px, py, hh, vv, rx, ry, lut,
         kernel_name=kernel, projection=projection, chunk=chunk,
         periodic_box=periodic_box,
-    )
+    )[:, :n_rays]
     return totals[0] if single else totals
 
 
