@@ -33,6 +33,11 @@ from .subfind import CatalogueSUBFIND
 from .swift import CatalogueSOAP, SnapshotSWIFT
 from .tng import CatalogueTNG, SnapshotTNG
 from .ionisation import IonisationTable_HM01, SupportedIons
+from .particle_filter import (
+    LineOfSightParticleFilter,
+    ParticleFilterFile,
+    SnapshotParticleFilter,
+)
 
 __all__ = [
     "errors",
@@ -55,6 +60,9 @@ __all__ = [
     "LineOfSightFileBase",
     "LineOfSightFileEAGLE",
     "LineOfSightFileSWIFT",
+    "LineOfSightParticleFilter",
+    "ParticleFilterFile",
+    "SnapshotParticleFilter",
     "MeanSphericalOverdensityAperture",
     "SnapshotBase",
     "SnapshotEAGLE",
