@@ -101,6 +101,17 @@ class TestPallasDeposit:
         expected = project_oracle(x, y, h, m, spec.shape, spec.extent)
         assert rel_err(got, expected) < 1e-5
 
+    def test_wendland_kernel(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(32, 32), extent=(0.0, box, 0.0, box))
+        px = box / 32
+        x, y, h, m = particles(rng, 600, box, 0.5 * px, 1.3 * px)
+        got = np.asarray(
+            deposit_2d_pallas(x, y, h, m, spec, precision="f32", kernel="wendland_c2")
+        )
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent, kernel="wendland_c2")
+        assert rel_err(got, expected) < 1e-5
+
     def test_empty_level_and_corner_origin(self, rng):
         box = 10.0
         spec = MapSpec(shape=(32, 32), extent=(0.0, box, 0.0, box), pixel_origin="corner")
