@@ -1,6 +1,11 @@
 """Mesh-parallel execution: sharded deposits and distributed reorder."""
 
 from .reorder import distributed_reorder
+from .sharded_io import (
+    load_particle_fields_sharded,
+    open_process_local_snapshot,
+    sharded_from_local,
+)
 from .sharded import (
     deposit_2d_sharded,
     deposit_3d_sharded,
@@ -13,6 +18,9 @@ __all__ = [
     "deposit_2d_sharded",
     "deposit_3d_sharded",
     "distributed_reorder",
+    "load_particle_fields_sharded",
+    "open_process_local_snapshot",
+    "sharded_from_local",
     "make_mesh",
     "pad_for_mesh",
     "partition_particles_by_slab",
