@@ -13,10 +13,20 @@ from .console import (
     show_times,
     timed_phase,
 )
+from .determinism import (
+    assert_consistent_across_processes,
+    assert_deterministic,
+    hash_array,
+    hash_pytree,
+)
 from .profiling import PhaseTimer, device_trace
 
 __all__ = [
     "PhaseTimer",
+    "assert_consistent_across_processes",
+    "assert_deterministic",
+    "hash_array",
+    "hash_pytree",
     "Settings",
     "Stopwatch",
     "device_trace",

@@ -27,6 +27,17 @@ NORTH_STAR_DEPOSITS_PER_SEC_PER_CHIP = 1.0e9 / 2.0 / 8.0
 
 
 def main() -> None:
+    # The axon TPU tunnel occasionally wedges/restarts; one retry after a
+    # cool-down rescues the benchmark where a single attempt would fail.
+    try:
+        _run()
+    except Exception as err:  # pragma: no cover - hardware-path insurance
+        sys.stderr.write(f"bench attempt 1 failed ({type(err).__name__}); retrying in 180s\n")
+        time.sleep(180)
+        _run()
+
+
+def _run() -> None:
     import os
 
     import jax
