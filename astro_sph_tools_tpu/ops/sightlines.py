@@ -101,6 +101,15 @@ def _column_integrate_impl(
     return totals.reshape(values.shape[1], -1)
 
 
+# Bounds on the work handed to one XLA program invocation. The dense ray
+# sweep is compute-heavy; a single program spanning tens of seconds can trip
+# device/tunnel watchdogs ("TPU worker crashed"), so both the particle axis
+# and the ray axis are macro-batched at the Python level (per program:
+# <= _MACRO_BATCH x _RAY_MACRO pair evaluations, ~1 s class on a v5e chip).
+_MACRO_BATCH = 1 << 19
+_RAY_MACRO = 2048
+
+
 def column_integrate(
     x, y, h, values, ray_x, ray_y,
     *,
@@ -116,6 +125,9 @@ def column_integrate(
     physical column density (mass / area); ``'kernel3d'`` reproduces the
     reference map convention.
     """
+    x = np.asarray(x)
+    y = np.asarray(y)
+    h = np.asarray(h)
     values = np.asarray(values)
     single = values.ndim == 1
     if single:
@@ -125,17 +137,31 @@ def column_integrate(
         if projection == "integrated"
         else jnp.zeros(2, jnp.float32)
     )
-    px, py, hh, vv = _pad_chunk([x, y, h, values], chunk, h_index=2)
     # pad rays to a tile multiple (padding rays are discarded afterwards)
     n_rays = np.asarray(ray_x).shape[0]
     n_ray_pad = max(_RAY_TILE, ((n_rays + _RAY_TILE - 1) // _RAY_TILE) * _RAY_TILE)
     rx = jnp.asarray(np.pad(np.asarray(ray_x, np.float32), (0, n_ray_pad - n_rays)))
     ry = jnp.asarray(np.pad(np.asarray(ray_y, np.float32), (0, n_ray_pad - n_rays)))
-    totals = _column_integrate_impl(
-        px, py, hh, vv, rx, ry, lut,
-        kernel_name=kernel, projection=projection, chunk=chunk,
-        periodic_box=periodic_box,
-    )[:, :n_rays]
+
+    n = x.shape[0]
+    ray_blocks = []
+    for r0 in range(0, n_ray_pad, _RAY_MACRO):
+        r1 = min(r0 + _RAY_MACRO, n_ray_pad)
+        block_totals = None
+        for start in range(0, max(n, 1), _MACRO_BATCH):
+            stop = min(start + _MACRO_BATCH, n)
+            px, py, hh, vv = _pad_chunk(
+                [x[start:stop], y[start:stop], h[start:stop], values[start:stop]],
+                chunk, h_index=2,
+            )
+            part = _column_integrate_impl(
+                px, py, hh, vv, rx[r0:r1], ry[r0:r1], lut,
+                kernel_name=kernel, projection=projection, chunk=chunk,
+                periodic_box=periodic_box,
+            )
+            block_totals = part if block_totals is None else block_totals + part
+        ray_blocks.append(block_totals)
+    totals = jnp.concatenate(ray_blocks, axis=1)[:, :n_rays]
     return totals[0] if single else totals
 
 
