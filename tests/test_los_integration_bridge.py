@@ -1,0 +1,64 @@
+"""Bridge: LOS file reader feeding the sightline integration engine."""
+
+import numpy as np
+import pytest
+
+from astro_sph_tools_tpu.io.los import LineOfSightFileEAGLE
+from astro_sph_tools_tpu.io.synthetic import SyntheticSnapshotSpec, write_los_file
+from astro_sph_tools_tpu.ops.sightlines import column_integrate, los_profiles
+
+
+class TestLosToIntegration:
+    def test_column_density_from_los_file(self, tmp_path):
+        spec = SyntheticSnapshotSpec(box_size_mpc=10.0)
+        path, truth = write_los_file(str(tmp_path), spec, n_sightlines=3, particles_per_los=300)
+        f = LineOfSightFileEAGLE(path)
+        sl = f.get_sightline(0)
+        t = truth["sightlines"][0]
+
+        pos = sl.positions_comoving.to_value("Mpc")
+        h = sl.smoothing_lengths_comoving.to_value("Mpc")
+        m = sl.masses.to_value("Msun")
+        start = sl.start_position.to_value("Mpc")
+
+        col = column_integrate(
+            pos[:, 0], pos[:, 1], h, m,
+            np.array([start[0]]), np.array([start[1]]),
+            projection="integrated",
+        )
+        assert float(col[0]) > 0
+        # cross-check against a direct LUT-free estimate: particles are
+        # clustered around the sightline, so most mass contributes
+        from astro_sph_tools_tpu.kernels import get_kernel, integrated_kernel_table, integrated_kernel_lookup
+        import jax.numpy as jnp
+
+        table = integrated_kernel_table("cubic_spline")
+        b = np.hypot(pos[:, 0] - start[0], pos[:, 1] - start[1])
+        w = np.asarray(
+            integrated_kernel_lookup(jnp.asarray(table), jnp.asarray(b), jnp.asarray(h), 2.0)
+        )
+        expected = float((m * w).sum())
+        assert float(col[0]) == pytest.approx(expected, rel=1e-4)
+
+    def test_temperature_profile_along_los(self, tmp_path):
+        spec = SyntheticSnapshotSpec(box_size_mpc=10.0)
+        path, truth = write_los_file(str(tmp_path), spec, n_sightlines=2, particles_per_los=200)
+        f = LineOfSightFileEAGLE(path)
+        sl = f.get_sightline(1)
+        pos = sl.positions_comoving.to_value("Mpc")
+        h = sl.smoothing_lengths_comoving.to_value("Mpc")
+        m = sl.masses.to_value("Msun")
+        T = sl.temperatures.to_value("K")
+        start = sl.start_position.to_value("Mpc")
+        fields = np.stack([m, m * T], axis=1)
+        prof = np.asarray(
+            los_profiles(
+                pos, h, fields, np.array([start[0]]), np.array([start[1]]),
+                z_range=(0.0, 10.0), n_bins=32,
+            )
+        )
+        dens, mt = prof[0, 0], prof[1, 0]
+        covered = dens > dens.max() * 1e-3
+        t_profile = mt[covered] / dens[covered]
+        assert (t_profile > T.min() * 0.99).all()
+        assert (t_profile < T.max() * 1.01).all()
