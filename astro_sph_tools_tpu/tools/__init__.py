@@ -26,9 +26,29 @@ from ..ops.sightlines import column_integrate, los_profiles
 calculate_wrapped_displacement = wrapped_displacement
 calculate_wrapped_distance = wrapped_distance
 
+# The reference also exports ArrayReorder_2 (its same-semantics v2 rewrite,
+# `tools/_ArrayReorder.py:660`) and the MPI variants (`:88,262`). Here the
+# modern ArrayReorder IS the v2 semantics, and the distributed engine lives
+# in ``parallel.distributed_reorder`` (owner-sharded all_to_all exchange).
+ArrayReorder_2 = ArrayReorder
+
+
+def ArrayReorder_MPI(*args, **kwargs):  # pragma: no cover - guidance shim
+    raise NotImplementedError(
+        "ArrayReorder_MPI is replaced by the mesh-native "
+        "astro_sph_tools_tpu.parallel.distributed_reorder (owner-sharded "
+        "lax.all_to_all exchange over ICI)."
+    )
+
+
+ArrayReorder_MPI_2 = ArrayReorder_MPI
+
 __all__ = [
     "ArrayMapping",
     "ArrayReorder",
+    "ArrayReorder_2",
+    "ArrayReorder_MPI",
+    "ArrayReorder_MPI_2",
     "GridSpec",
     "MapSpec",
     "calculate_periodic",
