@@ -29,7 +29,6 @@ local shard of a distributed array.
 from __future__ import annotations
 
 import glob
-import os
 import re
 from typing import Optional, Sequence, Union
 
@@ -38,7 +37,7 @@ import numpy as np
 
 from .. import constants as C
 from ..data_structures.particle_types import ParticleType
-from ..units import UnitArray, unit_array, unit_quantity
+from ..units import UnitArray, unit_array
 from .errors import SnapshotFormatError, SnipshotFieldError, SnipshotOperationError
 from .snapshot import SnapshotBase
 

@@ -32,8 +32,7 @@ import numpy as np
 from .. import constants as C
 from ..data_structures.cosmology import Cosmology
 from ..data_structures.particle_types import ParticleType
-from ..units import UnitArray, unit_array, unit_quantity
-from .errors import SnipshotFieldError
+from ..units import UnitArray
 
 ElementLike = Union[str, object]
 

@@ -42,7 +42,6 @@ from .. import constants as C
 from ..data_structures.particle_types import ParticleType
 from ..units import UnitArray, unit_array
 from .catalogue import (
-    BasicHaloDefinitions,
     CatalogueBase,
     CriticalSphericalOverdensityAperture,
     FOFGroup,

@@ -29,7 +29,6 @@ per-particle membership derived from the cumulative ``GroupLenType`` offsets
 from __future__ import annotations
 
 import glob
-import os
 import re
 from typing import Optional
 

@@ -29,7 +29,6 @@ small-h ones (SURVEY.md §7.3).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Sequence

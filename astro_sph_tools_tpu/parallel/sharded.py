@@ -28,9 +28,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..kernels.splines import get_kernel
 from ..ops.deposit import MapSpec, _stencil_level_pass
 from ..ops.grid3d import GridSpec, _stencil_level_pass_3d
 

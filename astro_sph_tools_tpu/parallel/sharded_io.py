@@ -15,7 +15,7 @@ pipeline is testable on one host.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

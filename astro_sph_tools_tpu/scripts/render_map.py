@@ -8,7 +8,6 @@ the fused deposit engine, and write the result to HDF5 (and optionally PNG).
 
 from __future__ import annotations
 
-import os
 import sys
 from typing import Optional
 
