@@ -39,23 +39,45 @@ RHO_CRIT_H1_MSUN_PER_MPC3 = (
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Cosmology:
-    """Snapshot-level cosmological parameters (all fields are pytree leaves)."""
+    """Snapshot-level cosmological parameters (all fields are pytree leaves).
+
+    omega_matter/omega_lambda default to the EAGLE Ref cosmology; they only
+    enter through :meth:`hubble_rate` (sightline velocity-space mapping).
+    """
 
     redshift: float
     hubble_param: float
     omega_baryon: float
     expansion_factor: float
+    omega_matter: float = 0.307
+    omega_lambda: float = 0.693
 
     @staticmethod
     def from_redshift(
-        redshift: float, hubble_param: float, omega_baryon: float
+        redshift: float,
+        hubble_param: float,
+        omega_baryon: float,
+        omega_matter: float = 0.307,
+        omega_lambda: float = 0.693,
     ) -> "Cosmology":
         return Cosmology(
             redshift=redshift,
             hubble_param=hubble_param,
             omega_baryon=omega_baryon,
             expansion_factor=1.0 / (1.0 + redshift),
+            omega_matter=omega_matter,
+            omega_lambda=omega_lambda,
         )
+
+    def hubble_rate(self, redshift=None) -> float:
+        """H(z) in km/s/Mpc: ``H0 sqrt(Om (1+z)^3 + OL)`` (flat LCDM).
+
+        Defaults to the snapshot's own redshift — the Hubble-flow gradient
+        used to map sightline path length into velocity space.
+        """
+        z = self.redshift if redshift is None else redshift
+        h0 = 100.0 * self.hubble_param
+        return h0 * (self.omega_matter * (1.0 + z) ** 3 + self.omega_lambda) ** 0.5
 
     # -- aliases matching the reference's property names ------------------------
     @property

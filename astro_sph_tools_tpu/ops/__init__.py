@@ -9,6 +9,7 @@ from .interp import cubic_spline_1d, regular_grid_interpolate
 from .neighbors import knn_distances, nearest_points, nearest_points_device
 from .reorder import ArrayMapping, ArrayReorder, MatchPlan, match_ids
 from .sightlines import column_integrate, los_profiles
+from .spectra import absorption_spectra, doppler_parameter_kms
 
 from .periodic import (
     calculate_periodic,
@@ -28,7 +29,9 @@ __all__ = [
     "MatchPlan",
     "PALLAS_LEVELS",
     "build_cell_list",
+    "absorption_spectra",
     "column_integrate",
+    "doppler_parameter_kms",
     "cubic_spline_1d",
     "deposit_2d",
     "deposit_2d_auto",

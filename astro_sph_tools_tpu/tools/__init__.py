@@ -21,6 +21,7 @@ from ..ops.periodic import (
 )
 from ..ops.reorder import ArrayMapping, ArrayReorder
 from ..ops.sightlines import column_integrate, los_profiles
+from ..ops.spectra import absorption_spectra, doppler_parameter_kms
 
 # reference naming aliases
 calculate_wrapped_displacement = wrapped_displacement
@@ -54,7 +55,9 @@ __all__ = [
     "calculate_periodic",
     "calculate_wrapped_displacement",
     "calculate_wrapped_distance",
+    "absorption_spectra",
     "column_integrate",
+    "doppler_parameter_kms",
     "deposit_2d",
     "deposit_2d_auto",
     "deposit_2d_pallas",
