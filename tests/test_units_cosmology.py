@@ -110,4 +110,10 @@ class TestCosmology:
         import jax
 
         leaves = jax.tree_util.tree_leaves(self.cosmo)
-        assert len(leaves) == 4
+        assert len(leaves) == 6  # z, h, Ob, a, Om, OL
+
+    def test_hubble_rate(self):
+        # H(0) = H0; H(1) = H0 sqrt(Om*8 + OL)
+        c = Cosmology.from_redshift(0.0, 0.7, 0.048, omega_matter=0.3, omega_lambda=0.7)
+        assert c.hubble_rate(0.0) == pytest.approx(70.0)
+        assert c.hubble_rate(1.0) == pytest.approx(70.0 * (0.3 * 8 + 0.7) ** 0.5)
