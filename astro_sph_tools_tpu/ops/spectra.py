@@ -83,11 +83,20 @@ def _spectra_impl(
 
         dv = v_centres[:, None] - cv[None, :]  # (B, C)
         if periodic_velocity is not None:
+            # Hot gas can have Doppler widths comparable to (or wider than)
+            # the box's velocity extent; a single minimum image loses the
+            # Gaussian's tails, so sum over periodic velocity images.
             vbox = periodic_velocity
             dv = dv - jnp.round(dv / vbox) * vbox
-        phi = (
-            jnp.exp(-((dv / cb[None, :]) ** 2)) * (inv_sqrt_pi / cb[None, :])
-        )  # (B, C), normalised: integral over v = 1
+            phi = jnp.zeros_like(dv)
+            for k in (-3, -2, -1, 0, 1, 2, 3):
+                dvk = dv + k * vbox
+                phi = phi + jnp.exp(-((dvk / cb[None, :]) ** 2))
+            phi = phi * (inv_sqrt_pi / cb[None, :])
+        else:
+            phi = (
+                jnp.exp(-((dv / cb[None, :]) ** 2)) * (inv_sqrt_pi / cb[None, :])
+            )  # (B, C), normalised: integral over v = 1
 
         # (R, B) += (R, C) @ (C, B)
         tau = tau + jnp.einsum("rc,bc->rb", w_col, phi)

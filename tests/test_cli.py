@@ -152,3 +152,38 @@ class TestRenderMap:
                 "--snapshot", snap_path, "--output", str(tmp_path / "x.hdf5"),
                 "--fields", "entropy", "--engine", "xla", "--resolution", "16",
             ])
+
+
+class TestSightlinesCli:
+    def test_columns_and_spectra(self, sim, tmp_path):
+        from astro_sph_tools_tpu.scripts.sightlines_cli import main
+
+        root, snap_path, truth, spec = sim
+        out = str(tmp_path / "rays.hdf5")
+        rc = main([
+            "--snapshot", snap_path, "--output", out,
+            "--n-rays", "32", "--spectra", "--spectra-bins", "512",
+        ])
+        assert rc == 0
+        with h5py.File(out, "r") as f:
+            cols = np.asarray(f["column_density"])
+            assert cols.shape == (32,)
+            assert (cols >= 0).all() and cols.max() > 0
+            tau = np.asarray(f["Spectra/tau"])
+            assert tau.shape == (32, 512)
+            # velocity integral consistent with the column for a few rays
+            v = np.asarray(f["Spectra/velocity_kms"])
+            dv = v[1] - v[0]
+            np.testing.assert_allclose(tau.sum(axis=1) * dv, cols, rtol=2e-2)
+
+    def test_ray_file_input(self, sim, tmp_path):
+        from astro_sph_tools_tpu.scripts.sightlines_cli import main
+
+        root, snap_path, *_ = sim
+        ray_file = tmp_path / "rays.txt"
+        ray_file.write_text("2.0 3.0\n7.5 8.0\n")
+        out = str(tmp_path / "rays2.hdf5")
+        rc = main(["--snapshot", snap_path, "--output", out, "--ray-file", str(ray_file)])
+        assert rc == 0
+        with h5py.File(out, "r") as f:
+            assert np.asarray(f["ray_x"]).shape == (2,)
