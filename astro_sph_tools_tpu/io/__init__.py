@@ -33,6 +33,7 @@ from .subfind import CatalogueSUBFIND
 from .swift import CatalogueSOAP, SnapshotSWIFT
 from .tng import CatalogueTNG, SnapshotTNG
 from .ionisation import IonisationTable_HM01, SupportedIons
+from .prefetch import stream_particle_blocks, streamed_deposit_2d
 from .particle_filter import (
     LineOfSightParticleFilter,
     ParticleFilterFile,
@@ -63,6 +64,8 @@ __all__ = [
     "LineOfSightParticleFilter",
     "ParticleFilterFile",
     "SnapshotParticleFilter",
+    "stream_particle_blocks",
+    "streamed_deposit_2d",
     "MeanSphericalOverdensityAperture",
     "SnapshotBase",
     "SnapshotEAGLE",
