@@ -74,3 +74,62 @@ class TestRenderMapStack:
         snapshot, *_ = snap
         with pytest.raises(ValueError):
             render_map_stack(snapshot, fields=("entropy",), resolution=16, engine="xla")
+
+
+class TestRenderHaloMaps:
+    def test_halo_cutouts(self, tmp_path):
+        from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+        from astro_sph_tools_tpu.io.subfind import CatalogueSUBFIND
+        from astro_sph_tools_tpu.io.synthetic import (
+            SyntheticSnapshotSpec, write_catalogue, write_snapshot,
+        )
+        from astro_sph_tools_tpu.render import render_halo_maps
+
+        spec = SyntheticSnapshotSpec(
+            n_gas=4096, n_dm=256, n_star=64, n_bh=2, clustered=True, n_groups=5
+        )
+        path, truth = write_snapshot(str(tmp_path), spec)
+        memb, prop = write_catalogue(str(tmp_path), spec, truth)
+        snapshot = SnapshotEAGLE(path)
+        cat = CatalogueSUBFIND(memb, prop, snapshot)
+
+        stacks = render_halo_maps(
+            snapshot, cat, [0, 2], fields=("density", "temperature"),
+            resolution=32, engine="xla",
+        )
+        assert len(stacks) == 2
+        for stack in stacks:
+            sd = stack["surface_density"]
+            assert sd.shape == (32, 32)
+            assert np.isfinite(sd).all()
+            assert "mean_temperature" in stack.keys()
+        # cutout extents centred on the box middle after recentring
+        lo, hi, *_ = stacks[0].spec.extent
+        assert lo < 5.0 < hi
+
+    def test_halo_centre_is_densest_region(self, tmp_path):
+        """The halo's own particles concentrate near the cutout centre."""
+        from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+        from astro_sph_tools_tpu.io.subfind import CatalogueSUBFIND
+        from astro_sph_tools_tpu.io.synthetic import (
+            SyntheticSnapshotSpec, write_catalogue, write_snapshot,
+        )
+        from astro_sph_tools_tpu.render import render_halo_maps
+
+        spec = SyntheticSnapshotSpec(
+            n_gas=8192, n_dm=64, n_star=16, n_bh=2, clustered=True, n_groups=3, seed=5
+        )
+        path, truth = write_snapshot(str(tmp_path), spec)
+        memb, prop = write_catalogue(str(tmp_path), spec, truth)
+        snapshot = SnapshotEAGLE(path)
+        cat = CatalogueSUBFIND(memb, prop, snapshot)
+        (stack,) = render_halo_maps(
+            snapshot, cat, [1], radius_multiple=4.0, resolution=48, engine="xla"
+        )
+        sd = stack["surface_density"]
+        n = sd.shape[0]
+        inner = sd[n // 4 : -n // 4, n // 4 : -n // 4].mean()
+        outer = (sd.sum() - sd[n // 4 : -n // 4, n // 4 : -n // 4].sum()) / (
+            sd.size - (n // 2) ** 2
+        )
+        assert inner > outer  # centrally concentrated
