@@ -35,7 +35,7 @@ map stack costs barely more than a single map (the north-star workload).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -436,9 +436,6 @@ def deposit_2d_pallas(
         tiles
     )
     return img[0] if n_fields == 1 else img
-
-
-from functools import lru_cache  # noqa: E402
 
 
 @lru_cache(maxsize=512)
