@@ -232,3 +232,17 @@ class TestMultiProcessSplit:
             all_ids.append(snap.get_IDs(ParticleType.gas))
         combined = np.sort(np.concatenate(all_ids))
         np.testing.assert_array_equal(combined, np.sort(truth.ids[ParticleType.gas]))
+
+    def test_proper_region_converts_to_comoving(self, tmp_path):
+        """Proper bounds scale by 1/a before masking (z=0.5 -> a=2/3)."""
+        spec = SyntheticSnapshotSpec(n_gas=800, n_dm=10, n_star=10, n_bh=2, n_files=1)
+        path, truth = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        a = spec.expansion_factor
+        # proper [0, 2] Mpc == comoving [0, 3] Mpc at a = 2/3
+        snap.restrict_data_proper_loading_region(0.0, 2.0, 0.0, 10.0 * a, 0.0, 10.0 * a)
+        pos = snap.get_positions(ParticleType.gas).value
+        assert (pos[:, 0] < 2.0 / a + 1e-9).all()
+        p = truth.positions[ParticleType.gas]
+        expected = (p[:, 0] < 2.0 / a).sum()
+        assert len(pos) == expected
