@@ -246,3 +246,28 @@ class TestMultiProcessSplit:
         p = truth.positions[ParticleType.gas]
         expected = (p[:, 0] < 2.0 / a).sum()
         assert len(pos) == expected
+
+
+class TestDeviceBridge:
+    def test_fields_to_device(self, snapshot):
+        import jax
+        import jax.numpy as jnp
+
+        snap, truth, _ = snapshot
+        fields = snap.fields_to_device(
+            ParticleType.gas, ["positions", "masses", "smoothing_lengths"]
+        )
+        assert set(fields) == {"positions", "masses", "smoothing_lengths"}
+        assert isinstance(fields["masses"], jax.Array)
+        assert fields["masses"].dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(fields["positions"]),
+            truth.positions[ParticleType.gas].astype(np.float32),
+            rtol=1e-6,
+        )
+
+    def test_read_async(self, snapshot):
+        snap, truth, _ = snapshot
+        future = snap.read_async("get_masses", ParticleType.gas)
+        result = future.result(timeout=30)
+        np.testing.assert_allclose(result.value, truth.masses[ParticleType.gas], rtol=1e-6)
