@@ -61,6 +61,8 @@ def _wrapped_interval_mask(values: np.ndarray, lo: float, hi: float, box: float)
     (`_SnapshotEAGLE.py:226-296`): an inverted range means the region crosses
     the periodic boundary; out-of-box bounds are wrapped into the box first.
     """
+    if hi - lo <= 0:  # zero-width (or inverted) region selects nothing
+        return np.zeros(values.shape[0], dtype=bool)
     lo = lo % box
     hi_m = hi % box
     if hi - lo >= box:  # full axis

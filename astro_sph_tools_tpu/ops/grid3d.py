@@ -73,10 +73,15 @@ def _stencil_level_pass_3d(
     shape: tuple[int, int, int],
     extent: tuple[float, ...],
     offset: float,
-    periodic: bool,
+    periodic: bool | tuple[bool, bool, bool],
     kernel_name: str,
     chunk: int,
 ) -> Array:
+    # periodic may be per-axis (x, y, z): the slab-sharded deposit wraps x/y
+    # locally while z is handled by the ppermute halo ring (ADVICE r1 #1).
+    if isinstance(periodic, bool):
+        periodic = (periodic,) * 3
+    per_x, per_y, per_z = periodic
     kernel = get_kernel(kernel_name)
     S = kernel.support_factor
     nz, ny, nx = shape
@@ -116,28 +121,21 @@ def _stencil_level_pass_3d(
         weights = kernel.w(jnp.sqrt(r2), ch[:, None, None, None])
         weights = jnp.where(inside, weights, 0.0).astype(dtype)
 
-        if periodic:
-            fx = jnp.mod(jx, nx)
-            fy = jnp.mod(jy, ny)
-            fz = jnp.mod(jz, nz)
-            flat = (
-                fz[:, :, None, None] * (ny * nx)
-                + fy[:, None, :, None] * nx
-                + fx[:, None, None, :]
-            )
-        else:
-            in_x = (jx >= 0) & (jx < nx)
-            in_y = (jy >= 0) & (jy < ny)
-            in_z = (jz >= 0) & (jz < nz)
-            valid = in_z[:, :, None, None] & in_y[:, None, :, None] & in_x[:, None, None, :]
-            weights = jnp.where(valid, weights, 0.0)
-            flat = jnp.where(
-                valid,
-                jnp.clip(jz, 0, nz - 1)[:, :, None, None] * (ny * nx)
-                + jnp.clip(jy, 0, ny - 1)[:, None, :, None] * nx
-                + jnp.clip(jx, 0, nx - 1)[:, None, None, :],
-                -1,
-            )
+        def axis_index(j, n_ax, per):
+            if per:
+                return jnp.mod(j, n_ax), jnp.ones(j.shape, bool)
+            return jnp.clip(j, 0, n_ax - 1), (j >= 0) & (j < n_ax)
+
+        fx, in_x = axis_index(jx, nx, per_x)
+        fy, in_y = axis_index(jy, ny, per_y)
+        fz, in_z = axis_index(jz, nz, per_z)
+        valid = in_z[:, :, None, None] & in_y[:, None, :, None] & in_x[:, None, None, :]
+        weights = jnp.where(valid, weights, 0.0)
+        flat = (
+            fz[:, :, None, None] * (ny * nx)
+            + fy[:, None, :, None] * nx
+            + fx[:, None, None, :]
+        )
 
         updates = weights[..., None] * cvals[:, None, None, None, :]
         grid = grid.at[flat.reshape(-1)].add(

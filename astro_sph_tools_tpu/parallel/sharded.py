@@ -156,10 +156,13 @@ def deposit_3d_sharded(
         ext_extent = (x0, x1, y0, y1, 0.0, (slab + 2 * halo) * psz)
         grid_flat = jnp.zeros((ext_shape[0] * ny * nx, 1), jnp.float32)
         grid_flat = jax.lax.pcast(grid_flat, (axis_name,), to="varying")
+        # x/y wrap locally (each shard holds the full x/y extent); z spill is
+        # carried by the extended-slab margins + ppermute ring below
         grid_flat = _stencil_level_pass_3d(
             grid_flat, cx, cy, cz_local, hs, vs[:, None],
             K=K, shape=ext_shape, extent=ext_extent,
-            offset=spec.sample_offset, periodic=False,
+            offset=spec.sample_offset,
+            periodic=(spec.periodic_wrap, spec.periodic_wrap, False),
             kernel_name=kernel, chunk=chunk,
         )
         ext = grid_flat.reshape(ext_shape[0], ny, nx)

@@ -176,6 +176,7 @@ def render_halo_maps(
     `_scripts/find_nearest_haloes.py:161-187`).
     """
     from .io.catalogue import BasicHaloDefinitions
+    from .kernels.splines import get_kernel
     from .ops.periodic import shift_centre
 
     if radius_definition is None:
@@ -221,10 +222,12 @@ def render_halo_maps(
         spec = MapSpec(
             shape=(resolution, resolution), extent=(lo, hi, lo, hi), periodic_wrap=False
         )
-        # pre-cut to the cutout (+ kernel support) to keep the deposit small
+        # pre-cut to the cutout (+ kernel support radius S_f*h, not a literal
+        # 2h: quintic/Wendland kernels reach 3h) to keep the deposit small
+        support = get_kernel(kernel).support_factor * h
         sel = (
-            (np.abs(recentred[:, i] - box / 2) < half_width + 2 * h)
-            & (np.abs(recentred[:, j] - box / 2) < half_width + 2 * h)
+            (np.abs(recentred[:, i] - box / 2) < half_width + support)
+            & (np.abs(recentred[:, j] - box / 2) < half_width + support)
         )
         if engine == "pallas":
             maps = deposit_2d_auto(

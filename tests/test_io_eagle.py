@@ -271,3 +271,16 @@ class TestDeviceBridge:
         future = snap.read_async("get_masses", ParticleType.gas)
         result = future.result(timeout=30)
         np.testing.assert_allclose(result.value, truth.masses[ParticleType.gas], rtol=1e-6)
+
+
+def test_wrapped_interval_mask_degenerate():
+    # ADVICE r1 #4: zero-width regions must select nothing (previously all)
+    from astro_sph_tools_tpu.io.eagle import _wrapped_interval_mask
+
+    v = np.linspace(0, 10, 50, endpoint=False)
+    assert not _wrapped_interval_mask(v, 3.0, 3.0, 10.0).any()
+    assert not _wrapped_interval_mask(v, 13.0, 13.0, 10.0).any()  # wrapped lo==hi
+    assert not _wrapped_interval_mask(v, 5.0, 4.0, 10.0).any()  # inverted
+    # sanity: normal + wrapped intervals still work
+    assert _wrapped_interval_mask(v, 2.0, 4.0, 10.0).sum() == 10
+    assert _wrapped_interval_mask(v, 9.0, 11.0, 10.0).sum() == 10

@@ -94,12 +94,12 @@ class TestSharded3D:
     def test_periodic_slabs(self, mesh, rng):
         n = 1500
         box = 8.0
-        # the slab ring wraps z only; keep particles away from x/y edges so
-        # the single-device periodic reference agrees
+        # edge-hugging particles in EVERY axis: x/y wrap inside the shard,
+        # z wraps via the ppermute ring (ADVICE r1 #1 regression)
         pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
-        pos[:, 0] = rng.uniform(1.0, 7.0, n)
-        pos[:, 1] = rng.uniform(1.0, 7.0, n)
-        pos[:100, 2] = rng.uniform(0, 0.05, 100)  # z-edge hugging
+        pos[:100, 2] = rng.uniform(0, 0.05, 100)
+        pos[100:200, 0] = rng.uniform(0, 0.02, 100)
+        pos[200:300, 1] = rng.uniform(box - 0.02, box, 100).astype(np.float32)
         h = np.full(n, 0.11, np.float32)
         m = np.ones(n, np.float32)
         spec = GridSpec(
