@@ -3,7 +3,7 @@
 SURVEY.md §7.2 step 5: "Morton encoding, on-device radix/``jnp.sort`` by
 cell, cell ranges (``searchsorted``) — the cell list that feeds per-tile
 particle bins". The deposit engine uses a specialised 2D tile binning
-(``deposit_pallas.prepare_tiled_particles``); this module is the general 3D
+(``deposit_pallas.tile_particles``); this module is the general 3D
 structure backing neighbor queries and spatial analysis.
 
 Real EAGLE snapshots are stored in Peano-Hilbert chunk order, so device

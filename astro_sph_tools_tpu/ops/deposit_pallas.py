@@ -8,13 +8,19 @@ serializes) with a scatter-free pipeline:
    captured by a margin M = K/2 on every side of the tile accumulator.
 2. **Sort**: one sort by tile id (``jax.lax.sort`` with payload operands) —
    amortised across all fields/maps rendered from the same particle set.
-3. **Pallas pass**: grid = (tile, chunk). Each step DMAs a chunk of C=512
-   particles (channel-packed SoA block), evaluates the SPH kernel on the
-   (R = TY + K rows) x (K cols) x (C particles) footprint block with pure VPU
-   polynomial work, and *places* the weighted contributions into the tile's
-   extended accumulator — which lives in VMEM across all of the tile's
-   chunks — with a single MXU matmul against a one-hot column-placement
-   matrix:  acc[F*R, S] += W[F*R, K*C] @ P[K*C, S],  P[(k,c), s] = [s == col0(c)+k].
+3. **Pallas pass** over a *flat work-list grid*: one grid step per
+   (tile, particle-chunk) pair that actually exists. The schedule — which
+   tile each step serves, which packed chunk row it DMAs, whether it must
+   zero the accumulator — is computed on device and fed through scalar
+   prefetch, so sparse/clustered tile histograms cost no dead steps and the
+   whole pipeline is traceable (works under ``jit`` and ``shard_map`` with
+   no host sync). Each step DMAs a chunk of C=512 particles (channel-packed
+   SoA block), evaluates the SPH kernel on the (R = TY + K rows) x (K cols)
+   x (C particles) footprint block with pure VPU polynomial work, and
+   *places* the weighted contributions into the tile's extended accumulator
+   — which lives in VMEM across all of the tile's steps — with a single MXU
+   matmul against a one-hot column-placement matrix:
+   acc[F*R, S] += W[F*R, K*C] @ P[K*C, S],  P[(k,c), s] = [s == col0(c)+k].
    The one-hot is exact, so matmul precision is set by the weight operand:
    ``precision='bf16x2'`` (default) splits W into two bf16 operands
    (hi + residual, ~2^-16 relative error — inside the 1e-5 budget once
@@ -28,8 +34,13 @@ projected 2D radius, ``r^2 < (S_f h)^2`` mask) to the chosen precision, with
 the same pixel conventions as ``ops.deposit``.
 
 Multi-field: up to 5 fields ride one pass — the field axis is folded into the
-matmul's row dimension (F*R <= 128 keeps the MXU tile full), so a multi-field
-map stack costs barely more than a single map (the north-star workload).
+matmul's row dimension, so a multi-field map stack costs barely more than a
+single map (the north-star workload).
+
+Adaptive h: :func:`tile_particles` builds a **device-resident multi-level
+layout** (one fused sort by (footprint level, tile)); :func:`deposit_2d_auto`
+renders all levels from it with no host round-trip of particle data (the only
+host sync is the handful of per-level counts sizing the compiled programs).
 """
 
 from __future__ import annotations
@@ -49,8 +60,9 @@ from .deposit import MapSpec
 
 Array = jax.Array
 
-_CHUNK = 512  # particles per Pallas grid step
+_CHUNK = 1024  # particles per Pallas grid step
 _LANES = 128  # accumulator width S
+_TILE_MASK = (1 << 29) - 1  # schedule word: tile id | work bit << 29
 
 
 @dataclass(frozen=True)
@@ -94,11 +106,16 @@ PALLAS_LEVELS: tuple[PallasDepositConfig, ...] = (
 
 
 def _deposit_kernel(
-    # scalar prefetch (4)
-    block_start_ref,  # (n_tiles,) first particle-chunk row of each tile
+    # scalar prefetch (5): the flat work-list schedule + per-tile ranges.
+    # The whole schedule lives in SMEM, so it is ONE packed int32 per step
+    # (four separate per-step arrays blew the 1MB SMEM budget at 33M
+    # particles); zeroing is derived from tile transitions, the DMA row from
+    # per-tile offsets.
+    sched_ref,  # (n_steps,) tile id | work bit << 29 (tiles non-decreasing)
+    block_start_ref,  # (n_tiles,) first packed chunk row of each tile
+    tile_off_ref,  # (n_tiles,) first schedule step of each tile
     pstart_ref,  # (n_tiles,) first sorted-particle index of each tile
     pcount_ref,  # (n_tiles,) particle count of each tile
-    nchunks_ref,  # (n_tiles,) chunks each tile must process
     # input blocks
     chunk_ref,  # (1, 8, C): channels [u, v, h, val0..val4]
     # output blocks
@@ -116,16 +133,22 @@ def _deposit_kernel(
     offset: float,
     precision: str,
 ):
-    t = pl.program_id(0)
-    j = pl.program_id(1)
+    s = pl.program_id(0)
+    t = sched_ref[s] & _TILE_MASK
     K, R, S, TY, M = cfg.K, cfg.R, cfg.S, cfg.TY, cfg.M
     kernel = get_kernel(kernel_name)
 
-    @pl.when(j == 0)
+    # first step of a tile: the tile id changed (trailing dead steps keep the
+    # last tile's id, so the last accumulator is never re-zeroed)
+    t_prev = sched_ref[jnp.maximum(s - 1, 0)] & _TILE_MASK
+    first = (s == 0) | (t != t_prev)
+    work = (sched_ref[s] >> 29) & 1
+
+    @pl.when(first)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j < nchunks_ref[t])
+    @pl.when(work == 1)
     def _work():
         data = chunk_ref[0]  # (8, C)
         u = data[0:1, :]  # (1, C) pixel-space x
@@ -134,7 +157,7 @@ def _deposit_kernel(
 
         # validity: this chunk window may over-read neighbours' particles;
         # padded lanes carry h = 0 whose NaN weights are also masked here
-        base = (block_start_ref[t] + j) * C
+        base = (block_start_ref[t] + (s - tile_off_ref[t])) * C
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         gidx = base + lane
         valid = (gidx >= pstart_ref[t]) & (gidx < pstart_ref[t] + pcount_ref[t])
@@ -280,19 +303,95 @@ def _choose_tx(cfg: PallasDepositConfig, nx: int, periodic: bool) -> int:
     return tx
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_fields", "extent", "shape", "periodic", "tile_ty", "n_tiles_x", "n_tiles_y", "tx",
-    ),
-)
-def _prepare_impl(
-    x, y, h, values,
-    *, n_fields, extent, shape, periodic, tile_ty, n_tiles_x, n_tiles_y, tx,
-):
+@dataclass(frozen=True)
+class _LevelGeometry:
+    """Static per-level tiling geometry for one MapSpec."""
+
+    cfg: PallasDepositConfig
+    tx: int
+    n_tiles_x: int
+    n_tiles_y: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_tiles_x * self.n_tiles_y
+
+
+def _level_geometry(cfg: PallasDepositConfig, spec: MapSpec) -> _LevelGeometry:
+    ny, nx = spec.shape
+    tx = _choose_tx(cfg, nx, spec.periodic_wrap)
+    if spec.periodic_wrap and ny % cfg.TY:
+        raise ValueError("periodic pallas deposit requires TY | ny")
+    return _LevelGeometry(
+        cfg=cfg,
+        tx=tx,
+        n_tiles_x=(nx + tx - 1) // tx,
+        n_tiles_y=(ny + cfg.TY - 1) // cfg.TY,
+    )
+
+
+def _tile_ranges(tile_sorted: Array, n_tiles: int, C: int):
+    """Per-tile particle ranges + chunk-row ranges over a tile-sorted array."""
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    pstart = jnp.searchsorted(tile_sorted, tile_range).astype(jnp.int32)
+    pend = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
+    pcount = pend - pstart
+    block_start = pstart // C
+    nchunks = jnp.where(pcount > 0, (pend + C - 1) // C - block_start, 0)
+    return pstart, pcount, block_start, nchunks
+
+
+def _step_schedule(nchunks, n_tiles: int, n_steps: int):
+    """Flat work-list: one packed int32 per step (tile | work bit << 29) plus
+    the per-tile first-step offsets.
+
+    ``n_steps`` is the static bound ``n_rows + 2 * n_tiles``: each tile adds
+    at most ceil(pcount/C) + 1 chunk rows (boundary chunks are revisited once
+    per adjoining tile) plus one schedule slot per empty tile (so every
+    accumulator block is zeroed). Trailing dead steps re-target the last tile
+    with no effect.
+    """
+    nchunks1 = jnp.maximum(nchunks, 1)
+    cum = jnp.cumsum(nchunks1)
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
+    tile = jnp.searchsorted(cum, steps, side="right").astype(jnp.int32)
+    live = tile < n_tiles
+    tile_c = jnp.minimum(tile, n_tiles - 1)
+    tile_off = (cum - nchunks1).astype(jnp.int32)  # first step of each tile
+    j_in = steps - tile_off[tile_c]
+    work = live & (j_in < nchunks[tile_c])  # False on the empty-tile pad step
+    sched = tile_c | (work.astype(jnp.int32) << 29)
+    return sched, tile_off
+
+
+def _pack_channels(sorted_ops, n_fields: int, n_rows: int, C: int):
+    """(u, v, h, val...) -> (n_rows, 8, C) channel-packed SoA blocks."""
+    def pack(a):
+        return a.reshape(n_rows, C)
+
+    channels = [pack(sorted_ops[0]), pack(sorted_ops[1]), pack(sorted_ops[2])]
+    channels += [pack(sorted_ops[3 + f]) for f in range(n_fields)]
+    channels += [jnp.zeros((n_rows, C), jnp.float32)] * (8 - len(channels))
+    return jnp.stack(channels, axis=1)  # (n_rows, 8, C)
+
+
+def _deposit_2d_pallas_traced(
+    x, y, h, values,  # (N,), (N,), (N,), (F, N) — N a multiple of _CHUNK
+    *,
+    geom: _LevelGeometry,
+    spec_shape, spec_extent, periodic, offset,
+    n_fields: int,
+    kernel: str,
+    support_factor: float,
+    precision: str,
+    interpret: bool,
+) -> Array:
+    """Fully traceable single-level fused deposit: sort -> schedule -> pallas
+    -> overlap-add, with no host sync. Safe under jit / shard_map."""
     C = _CHUNK
-    x0, x1, y0, y1 = extent
-    ny, nx = shape
+    cfg, tx = geom.cfg, geom.tx
+    ny, nx = spec_shape
+    x0, x1, y0, y1 = spec_extent
     psx = (x1 - x0) / nx
     psy = (y1 - y0) / ny
 
@@ -302,92 +401,111 @@ def _prepare_impl(
         u = jnp.mod(u, nx)
         v = jnp.mod(v, ny)
 
-    tx_i = jnp.clip((u / tx).astype(jnp.int32), 0, n_tiles_x - 1)
-    ty_i = jnp.clip((v / tile_ty).astype(jnp.int32), 0, n_tiles_y - 1)
-    tile_id = (ty_i * n_tiles_x + tx_i).astype(jnp.int32)
+    tx_i = jnp.clip((u / tx).astype(jnp.int32), 0, geom.n_tiles_x - 1)
+    ty_i = jnp.clip((v / cfg.TY).astype(jnp.int32), 0, geom.n_tiles_y - 1)
+    tile_id = (ty_i * geom.n_tiles_x + tx_i).astype(jnp.int32)
 
     operands = [tile_id, u, v, h] + [values[f] for f in range(n_fields)]
     sorted_ops = jax.lax.sort(operands, num_keys=1)
-    tile_sorted = sorted_ops[0]
+
     n = x.shape[0]
+    n_rows = n // C
+    n_tiles = geom.n_tiles
+    pstart, pcount, block_start, nchunks = _tile_ranges(sorted_ops[0], n_tiles, C)
+    n_steps = n_rows + 2 * n_tiles
+    sched, tile_off = _step_schedule(nchunks, n_tiles, n_steps)
+    packed = _pack_channels(sorted_ops[1:], n_fields, n_rows, C)
+
+    tiles = _cached_deposit_call(
+        cfg, geom.n_tiles_x, geom.n_tiles_y, n_steps, n_rows, n_fields, tx,
+        kernel, support_factor, psx, psy, offset, precision, interpret,
+    )(sched, block_start, tile_off, pstart, pcount, packed)
+
+    return _overlap_add(
+        tiles, cfg, tx, geom.n_tiles_y, geom.n_tiles_x, n_fields, ny, nx, periodic
+    )
+
+
+@lru_cache(maxsize=512)
+def _cached_deposit_call(
+    cfg, n_tiles_x, n_tiles_y, n_steps, n_rows, n_fields, tx,
+    kernel, support_factor, psx, psy, offset, precision, interpret,
+):
+    """Build (once per static configuration) the pallas call.
+
+    ``pl.pallas_call`` constructs a fresh traced callable every invocation;
+    without this cache every render re-traces the kernel (~0.5 s — 6x the
+    actual 16M-particle deposit time).
+    """
     n_tiles = n_tiles_x * n_tiles_y
 
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
-    pstart = jnp.searchsorted(tile_sorted, tile_range).astype(jnp.int32)
-    pend = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
-    pcount = pend - pstart
-    block_start = pstart // C
-    nchunks = (pend + C - 1) // C - block_start
+    def in_idx(s, sched, bs, toff, ps, pc):
+        # block index MUST be clamped: blocks are DMA'd even for skipped
+        # steps, and an out-of-range read crashes the device
+        t = sched[s] & _TILE_MASK
+        return (jnp.clip(bs[t] + (s - toff[t]), 0, n_rows - 1), 0, 0)
 
-    n_pad = max(C, ((n + C - 1) // C) * C)
-    n_rows = n_pad // C
-
-    def pack(a):
-        return jnp.pad(a, (0, n_pad - n)).reshape(n_rows, C)
-
-    channels = [pack(sorted_ops[1]), pack(sorted_ops[2]), pack(sorted_ops[3])]
-    channels += [pack(sorted_ops[4 + f]) for f in range(n_fields)]
-    channels += [jnp.zeros((n_rows, C), jnp.float32)] * (8 - len(channels))
-    packed = jnp.stack(channels, axis=1)  # (n_rows, 8, C)
-    return packed, block_start, pstart, pcount, nchunks
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec((1, 8, _CHUNK), in_idx)],
+        out_specs=pl.BlockSpec(
+            (1, n_fields * cfg.R, cfg.S),
+            lambda s, sched, bs, toff, ps, pc: (sched[s] & _TILE_MASK, 0, 0),
+        ),
+    )
+    kern = partial(
+        _deposit_kernel,
+        cfg=cfg,
+        C=_CHUNK,
+        n_fields=n_fields,
+        n_tiles_x=n_tiles_x,
+        tx=tx,
+        kernel_name=kernel,
+        support_factor=support_factor,
+        psx=psx,
+        psy=psy,
+        offset=offset,
+        precision=precision,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_fields * cfg.R, cfg.S), jnp.float32),
+        interpret=interpret,
+    )
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def prepare_tiled_particles(
-    x, y, h, values, spec: MapSpec, cfg: PallasDepositConfig,
-    *, n_tiles_x: int, n_tiles_y: int, tx: int,
-):
-    """Sort particles by tile and pack channel blocks for the Pallas pass.
-
-    One fused jit program (sort + ranges + pack); the only host sync is the
-    jmax reduction sizing the grid — amortised over every field/map rendered
-    from the same particle set.
-
-    The particle count is padded to the next power of two so compiled
-    programs are reused across snapshots/levels (data-dependent level-subset
-    sizes would otherwise force a fresh ~70s XLA sort compile per render).
-    Padding particles carry h = 1 with value 0 and sort to the last tile.
-    """
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    h = jnp.asarray(h, jnp.float32)
+def _as_field_matrix(values) -> tuple[jnp.ndarray, bool]:
     values = jnp.asarray(values, jnp.float32)
-    if values.ndim == 1:
+    single = values.ndim == 1
+    if single:
         values = values[None, :]
-    n_fields = values.shape[0]
-    if n_fields > 5:
+    if values.shape[0] > 5:
         raise ValueError("pallas deposit supports at most 5 fields per pass")
+    return values, single
 
+
+def _pad_particles_pow2(x, y, h, values, spec: MapSpec):
+    """Pad the particle count to the next power of two so compiled programs
+    are reused across snapshots/levels (data-dependent subset sizes would
+    otherwise force a fresh ~70s XLA sort compile per render). Padding
+    particles park at the extent max (clipped into the last tile) with
+    weight 0 and h = 1."""
     n = x.shape[0]
     n_bucket = max(_CHUNK, _next_pow2(n))
     if n_bucket != n:
         pad = n_bucket - n
         x0, x1, y0, y1 = spec.extent
-        # park padding at the extent max: clipped into the last tile, weight 0
         x = jnp.pad(x, (0, pad), constant_values=float(x1))
         y = jnp.pad(y, (0, pad), constant_values=float(y1))
         h = jnp.pad(h, (0, pad), constant_values=1.0)
         values = jnp.pad(values, ((0, 0), (0, pad)))
-
-    packed, block_start, pstart, pcount, nchunks = _prepare_impl(
-        x, y, h, values,
-        n_fields=n_fields,
-        extent=tuple(float(e) for e in spec.extent),
-        shape=spec.shape,
-        periodic=spec.periodic_wrap,
-        tile_ty=cfg.TY,
-        n_tiles_x=n_tiles_x,
-        n_tiles_y=n_tiles_y,
-        tx=tx,
-    )
-    jmax = int(jnp.max(nchunks)) if x.shape[0] else 1  # host sync
-    # bucket the grid's chunk dimension too: jmax is a static grid size, so
-    # distinct values would recompile the pallas call (skipped steps are cheap)
-    jmax = _next_pow2(max(jmax, 1))
-    return packed, block_start, pstart, pcount, nchunks, jmax, n_fields
+    return x, y, h, values
 
 
 def deposit_2d_pallas(
@@ -408,95 +526,300 @@ def deposit_2d_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kspec = get_kernel(kernel)
-    ny, nx = spec.shape
-    x0, x1, y0, y1 = spec.extent
+    geom = _level_geometry(cfg, spec)
+
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    values, single = _as_field_matrix(values)
+    x, y, h, values = _pad_particles_pow2(x, y, h, values, spec)
+
+    img = _cached_level_pipeline(
+        geom, spec.shape, tuple(float(e) for e in spec.extent),
+        spec.periodic_wrap, spec.sample_offset, values.shape[0],
+        kernel, kspec.support_factor, precision, interpret,
+    )(x, y, h, values)
+    return img[0] if single else img
+
+
+@lru_cache(maxsize=512)
+def _cached_level_pipeline(
+    geom, shape, extent, periodic, offset, n_fields,
+    kernel, support_factor, precision, interpret,
+):
+    """One jitted program per static config: sort + schedule + pallas + add."""
+    fn = partial(
+        _deposit_2d_pallas_traced,
+        geom=geom, spec_shape=shape, spec_extent=extent, periodic=periodic,
+        offset=offset, n_fields=n_fields, kernel=kernel,
+        support_factor=support_factor, precision=precision, interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident adaptive-h layout (TiledParticles)
+# ---------------------------------------------------------------------------
+
+_LEVEL_STRIDE = 1 << 22  # composite sort key: level * STRIDE + tile_id
+
+
+@dataclass(frozen=True)
+class TiledParticles:
+    """Device-resident multi-level tile-sorted particle layout.
+
+    Built once per (particle set, extent) by :func:`tile_particles`; every
+    field/map rendered from the same positions reuses the sorted layout — a
+    new field is a device gather through ``perm``, not a re-sort
+    (``with_values``). Per-level segments are bucketed to powers of two so
+    the compiled programs are shared across snapshots.
+    """
+
+    spec: MapSpec
+    kernel: str
+    geoms: tuple  # per populated level: (_LevelGeometry, lo, bucket, count)
+    sorted_u: Array  # (N,) pixel-space coords, (level, tile)-sorted
+    sorted_v: Array
+    sorted_h: Array
+    sorted_values: Array  # (F, N)
+    sorted_tile: Array  # (N,) tile id within the particle's own level
+    perm: Array  # (N,) original index of each sorted slot
+    n_oversize: int  # trailing segment routed to the XLA fallback
+    n_valid: int  # real (non-padding) particle count
+
+    @property
+    def n_fields(self) -> int:
+        return self.sorted_values.shape[0]
+
+    def with_values(self, values) -> "TiledParticles":
+        """Same layout, new deposit payloads (device gather, no re-sort)."""
+        values, _ = _as_field_matrix(values)
+        n = values.shape[1]
+        if n != self.n_valid:
+            raise ValueError(f"expected {self.n_valid} per-particle values, got {n}")
+        pad = self.perm.shape[0] - n
+        values = jnp.pad(values, ((0, 0), (0, pad)))
+        return TiledParticles(
+            spec=self.spec, kernel=self.kernel, geoms=self.geoms,
+            sorted_u=self.sorted_u, sorted_v=self.sorted_v, sorted_h=self.sorted_h,
+            sorted_values=values[:, self.perm],
+            sorted_tile=self.sorted_tile, perm=self.perm,
+            n_oversize=self.n_oversize, n_valid=self.n_valid,
+        )
+
+
+def tile_particles(
+    x, y, h, values, spec: MapSpec,
+    *,
+    kernel: str = "cubic_spline",
+    levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
+) -> TiledParticles:
+    """Build the device-resident multi-level layout with ONE fused sort.
+
+    Each particle is assigned a footprint level (by ``support_factor * h`` in
+    pixels) and its tile id under that level's geometry; a single
+    ``lax.sort`` on the composite key ``level * STRIDE + tile`` leaves every
+    level's segment internally tile-sorted. The only host syncs are the
+    per-level counts (a handful of ints) sizing the compiled programs.
+    """
+    kspec = get_kernel(kernel)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    values, _ = _as_field_matrix(values)
+    n_valid = int(x.shape[0])
+    x, y, h, values = _pad_particles_pow2(x, y, h, values, spec)
+
+    # geometry per level; a level that cannot tile this (small/periodic) map
+    # routes its particles to the oversize fallback
+    geoms: list[Optional[_LevelGeometry]] = []
+    for cfg in levels:
+        try:
+            geoms.append(_level_geometry(cfg, spec))
+        except ValueError:
+            geoms.append(None)
+
+    bounds = tuple(
+        (g.cfg.max_s_pix if g is not None else -1.0) for g in geoms
+    )
+    n_fields = values.shape[0]
+
+    sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort(
+        spec.shape, tuple(float(e) for e in spec.extent), spec.periodic_wrap,
+        bounds, tuple(g.n_tiles_x if g else 1 for g in geoms),
+        tuple(g.cfg.TY if g else 1 for g in geoms),
+        tuple(g.tx if g else 1 for g in geoms),
+        tuple(g.n_tiles_y if g else 1 for g in geoms),
+        kspec.support_factor, n_fields,
+    )(x, y, h, values)
+
+    counts_host = np.asarray(counts)  # host sync: len(levels)+1 ints
+    level_meta = []
+    lo = 0
+    for li, g in enumerate(geoms):
+        c = int(counts_host[li])
+        if g is not None and c > 0:
+            level_meta.append((g, lo, max(_CHUNK, _next_pow2(c)), c))
+        lo += c
+
+    return TiledParticles(
+        spec=spec, kernel=kernel, geoms=tuple(level_meta),
+        sorted_u=su, sorted_v=sv, sorted_h=sh, sorted_values=s_values,
+        sorted_tile=sorted_key, perm=perm,
+        n_oversize=int(counts_host[len(geoms)]),
+        n_valid=n_valid,
+    )
+
+
+@lru_cache(maxsize=256)
+def _cached_tile_sort(
+    shape, extent, periodic, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t,
+    support_factor, n_fields,
+):
+    n_levels = len(bounds)
+
+    @jax.jit
+    def run(x, y, h, values):
+        ny, nx = shape
+        x0, x1, y0, y1 = extent
+        psx = (x1 - x0) / nx
+        psy = (y1 - y0) / ny
+        u = (x - x0) / psx
+        v = (y - y0) / psy
+        if periodic:
+            u = jnp.mod(u, nx)
+            v = jnp.mod(v, ny)
+
+        px = min(psx, psy)
+        s_pix = support_factor * h / px
+        # level = first level whose max_s_pix >= s_pix (disabled levels have
+        # bound -1 and never match); unmatched -> oversize level n_levels
+        level = jnp.full(x.shape, n_levels, jnp.int32)
+        for li in range(n_levels - 1, -1, -1):
+            if bounds[li] >= 0:
+                level = jnp.where(s_pix <= bounds[li], jnp.int32(li), level)
+
+        # tile id under the particle's own level geometry
+        tile = jnp.zeros(x.shape, jnp.int32)
+        for li in range(n_levels):
+            tx_i = jnp.clip((u / tx_t[li]).astype(jnp.int32), 0, n_tiles_x_t[li] - 1)
+            ty_i = jnp.clip((v / ty_t[li]).astype(jnp.int32), 0, n_tiles_y_t[li] - 1)
+            tid = ty_i * n_tiles_x_t[li] + tx_i
+            tile = jnp.where(level == li, tid, tile)
+
+        key = level * _LEVEL_STRIDE + tile
+        idx = jnp.arange(x.shape[0], dtype=jnp.int32)
+        sorted_key, su, sv, sh, perm, *s_vals = jax.lax.sort(
+            [key, u, v, h, idx] + [values[f] for f in range(n_fields)],
+            num_keys=1,
+        )
+        s_values = jnp.stack(s_vals, axis=0)
+        lv = jnp.arange(n_levels + 1, dtype=jnp.int32) * _LEVEL_STRIDE
+        starts = jnp.searchsorted(sorted_key, lv).astype(jnp.int32)
+        ends = jnp.searchsorted(
+            sorted_key, lv + (_LEVEL_STRIDE - 1), side="right"
+        ).astype(jnp.int32)
+        counts = ends - starts
+        return sorted_key - (sorted_key // _LEVEL_STRIDE) * _LEVEL_STRIDE, su, sv, sh, s_values, perm, counts
+
+    return run
+
+
+def _deposit_level_from_layout(
+    tp: TiledParticles, meta, precision: str, interpret: bool
+) -> Array:
+    """Render one level from the sorted layout: gather its (bucketed) segment
+    and run the flat-grid pallas pass. Device-only."""
+    geom, lo, bucket, count = meta
+    return _cached_layout_level(
+        geom, tp.spec.shape, tuple(float(e) for e in tp.spec.extent),
+        tp.spec.periodic_wrap, tp.spec.sample_offset, tp.n_fields,
+        tp.kernel, get_kernel(tp.kernel).support_factor, precision, interpret,
+        bucket,
+    )(tp.sorted_u, tp.sorted_v, tp.sorted_h, tp.sorted_values, tp.sorted_tile,
+      jnp.int32(lo), jnp.int32(count))
+
+
+@lru_cache(maxsize=512)
+def _cached_layout_level(
+    geom, shape, extent, periodic, offset, n_fields,
+    kernel, support_factor, precision, interpret, bucket,
+):
+    C = _CHUNK
+    cfg, tx = geom.cfg, geom.tx
+    ny, nx = shape
+    x0, x1, y0, y1 = extent
     psx = (x1 - x0) / nx
     psy = (y1 - y0) / ny
+    n_rows = bucket // C
+    n_tiles = geom.n_tiles
+    n_steps = n_rows + 2 * n_tiles
 
-    tx = _choose_tx(cfg, nx, spec.periodic_wrap)
-    n_tiles_x = (nx + tx - 1) // tx
-    n_tiles_y = (ny + cfg.TY - 1) // cfg.TY
-    if spec.periodic_wrap and ny % cfg.TY:
-        raise ValueError("periodic pallas deposit requires TY | ny")
+    @jax.jit
+    def run(su, sv, sh, s_values, s_tile, lo, count):
+        idx = lo + jnp.arange(bucket, dtype=jnp.int32)
+        live = jnp.arange(bucket, dtype=jnp.int32) < count
+        idx = jnp.clip(idx, 0, su.shape[0] - 1)
+        u = su[idx]
+        v = sv[idx]
+        h = jnp.where(live, sh[idx], 1.0)
+        vals = jnp.where(live[None, :], s_values[:, idx], 0.0)
+        # pad slots sort to a synthetic tile past the last so ranges stay sorted
+        tile = jnp.where(live, s_tile[idx], n_tiles).astype(jnp.int32)
 
-    (packed, block_start, pstart, pcount, nchunks, jmax, n_fields) = (
-        prepare_tiled_particles(
-            x, y, h, values, spec, cfg,
-            n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tx=tx,
+        pstart, pcount, block_start, nchunks = _tile_ranges(tile, n_tiles, C)
+        sched, tile_off = _step_schedule(nchunks, n_tiles, n_steps)
+        packed = _pack_channels(
+            [u, v, h] + [vals[f] for f in range(n_fields)], n_fields, n_rows, C
         )
-    )
+        tiles = _cached_deposit_call(
+            cfg, geom.n_tiles_x, geom.n_tiles_y, n_steps, n_rows, n_fields, tx,
+            kernel, support_factor, psx, psy, offset, precision, interpret,
+        )(sched, block_start, tile_off, pstart, pcount, packed)
+        return _overlap_add(
+            tiles, cfg, tx, geom.n_tiles_y, geom.n_tiles_x, n_fields, ny, nx,
+            periodic,
+        )
 
-    tiles = _cached_deposit_call(
-        cfg, n_tiles_x, n_tiles_y, jmax, packed.shape[0], n_fields, tx,
-        kernel, kspec.support_factor, psx, psy, spec.sample_offset, precision,
-        interpret,
-    )(block_start, pstart, pcount, nchunks, packed)
-
-    img = _cached_overlap_add(cfg, tx, n_tiles_y, n_tiles_x, n_fields, ny, nx, spec.periodic_wrap)(
-        tiles
-    )
-    return img[0] if n_fields == 1 else img
+    return run
 
 
-@lru_cache(maxsize=512)
-def _cached_deposit_call(
-    cfg, n_tiles_x, n_tiles_y, jmax, n_rows, n_fields, tx,
-    kernel, support_factor, psx, psy, offset, precision, interpret,
-):
-    """Build (once per static configuration) the jitted pallas call.
-
-    ``pl.pallas_call`` constructs a fresh traced callable every invocation;
-    without this cache every render re-traces the kernel (~0.5 s — 6x the
-    actual 16M-particle deposit time).
+def deposit_tiled(
+    tp: TiledParticles,
+    *,
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Render the full adaptive-h map stack from a :class:`TiledParticles`
+    layout. All levels run device-resident; only oversize-footprint
+    stragglers (footprint > the largest K-window) fall back to the XLA dense
+    path. Returns (F, ny, nx).
     """
-    n_tiles = n_tiles_x * n_tiles_y
-    # The input block is DMA'd for every grid step regardless of the
-    # pl.when(j < nchunks) skip in the kernel body, so the block index MUST
-    # be clamped: an out-of-range bs[t]+j on the trailing steps of sparse
-    # tiles reads past the packed array and crashes the device.
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_tiles, jmax),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, _CHUNK),
-                lambda t, j, bs, ps, pc, nc: (jnp.minimum(bs[t] + j, n_rows - 1), 0, 0),
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_fields * cfg.R, cfg.S), lambda t, j, bs, ps, pc, nc: (t, 0, 0)
-        ),
-    )
-    kern = partial(
-        _deposit_kernel,
-        cfg=cfg,
-        C=_CHUNK,
-        n_fields=n_fields,
-        n_tiles_x=n_tiles_x,
-        tx=tx,
-        kernel_name=kernel,
-        support_factor=support_factor,
-        psx=psx,
-        psy=psy,
-        offset=offset,
-        precision=precision,
-    )
-    call = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_fields * cfg.R, cfg.S), jnp.float32),
-        interpret=interpret,
-    )
-    return jax.jit(call)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ny, nx = tp.spec.shape
+    total = jnp.zeros((tp.n_fields, ny, nx), jnp.float32)
+    for meta in tp.geoms:
+        total = total + _deposit_level_from_layout(tp, meta, precision, interpret)
 
+    if tp.n_oversize:
+        from .deposit import deposit_2d  # late import: sibling module
 
-@lru_cache(maxsize=512)
-def _cached_overlap_add(cfg, tx, n_tiles_y, n_tiles_x, n_fields, ny, nx, periodic):
-    return jax.jit(
-        lambda tiles: _overlap_add(
-            tiles, cfg, tx, n_tiles_y, n_tiles_x, n_fields, ny, nx, periodic
+        # oversize stragglers live at the end of the sorted layout; recover
+        # world coordinates from pixel space for the dense path
+        x0, x1, y0, y1 = tp.spec.extent
+        psx = (x1 - x0) / nx
+        psy = (y1 - y0) / ny
+        sl = slice(tp.perm.shape[0] - tp.n_oversize, None)
+        xo = np.asarray(tp.sorted_u[sl]) * psx + x0
+        yo = np.asarray(tp.sorted_v[sl]) * psy + y0
+        ho = np.asarray(tp.sorted_h[sl])
+        vo = np.asarray(tp.sorted_values[:, sl])
+        img = deposit_2d(xo, yo, ho, vo.T, tp.spec, kernel=tp.kernel)
+        total = total + jnp.moveaxis(
+            img if img.ndim == 3 else img[..., None], -1, 0
         )
-    )
+    return total
 
 
 def deposit_2d_auto(
@@ -506,52 +829,13 @@ def deposit_2d_auto(
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
 ):
-    """Adaptive-h deposit: partition particles by footprint into Pallas levels,
-    routing oversize footprints to the XLA stencil/dense path (host-side
-    binning, one fused pass per populated level, images summed).
+    """Adaptive-h deposit: device-resident level/tile partition (one fused
+    sort), one fused Pallas pass per populated footprint level, oversize
+    stragglers routed to the XLA dense path.
 
     Returns (ny, nx) for single-field input, else (F, ny, nx).
     """
-    from .deposit import deposit_2d  # late import: sibling module
-
-    x = np.asarray(x)
-    y = np.asarray(y)
-    h_np = np.asarray(h)
-    values_np = np.asarray(values)
-    single = values_np.ndim == 1
-    if single:
-        values_np = values_np[None, :]
-    kspec = get_kernel(kernel)
-    px = min(spec.pixel_size)
-    s_pix = kspec.support_factor * h_np / px
-
-    bounds = [cfg.max_s_pix for cfg in PALLAS_LEVELS]
-    level_idx = np.searchsorted(np.asarray(bounds), s_pix, side="left")
-
-    ny, nx = spec.shape
-    total = jnp.zeros((values_np.shape[0], ny, nx), jnp.float32)
-    for li, cfg in enumerate(PALLAS_LEVELS):
-        idx = np.nonzero(level_idx == li)[0]
-        if idx.size == 0:
-            continue
-        try:
-            _choose_tx(cfg, nx, spec.periodic_wrap)
-        except ValueError:
-            # level cannot tile this (small) map: route to the XLA fallback
-            level_idx[idx] = len(PALLAS_LEVELS)
-            continue
-        img = deposit_2d_pallas(
-            x[idx], y[idx], h_np[idx], values_np[:, idx], spec,
-            kernel=kernel, precision=precision, level=cfg, interpret=interpret,
-        )
-        total = total + (img[None] if img.ndim == 2 else img)
-
-    oversize = np.nonzero(level_idx >= len(PALLAS_LEVELS))[0]
-    if oversize.size:
-        img = deposit_2d(
-            x[oversize], y[oversize], h_np[oversize], values_np[:, oversize].T,
-            spec, kernel=kernel,
-        )
-        total = total + jnp.moveaxis(img if img.ndim == 3 else img[..., None], -1, 0)
-
+    values, single = _as_field_matrix(values)
+    tp = tile_particles(x, y, h, values, spec, kernel=kernel)
+    total = deposit_tiled(tp, precision=precision, interpret=interpret)
     return total[0] if single else total

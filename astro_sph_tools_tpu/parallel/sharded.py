@@ -30,10 +30,25 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..kernels.splines import get_kernel
 from ..ops.deposit import MapSpec, _stencil_level_pass
+from ..ops.deposit_pallas import (
+    _CHUNK as _PALLAS_CHUNK,
+    PALLAS_LEVELS,
+    _deposit_2d_pallas_traced,
+    _level_geometry,
+)
 from ..ops.grid3d import GridSpec, _stencil_level_pass_3d
 
 Array = jax.Array
+
+
+def _pallas_level_for_K(K: int):
+    """Smallest fused-deposit level whose column window hosts a K footprint."""
+    for cfg in PALLAS_LEVELS:
+        if cfg.K >= K:
+            return cfg
+    raise ValueError(f"no pallas level hosts K={K} (max {PALLAS_LEVELS[-1].K})")
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
@@ -68,11 +83,18 @@ def deposit_2d_sharded(
     kernel: str = "cubic_spline",
     chunk: int = 8192,
     axis_name: str = "data",
+    engine: str = "pallas",
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
 ) -> Array:
     """Particle-sharded 2D deposit; returns the (ny, nx[, F]) reduced map.
 
-    Inputs must be padded to a multiple of ``mesh.size * chunk`` (pad with
-    ``values = 0``). Jittable; call under ``jax.jit`` for production.
+    ``engine="pallas"`` (default) runs the fused tile-sorted Pallas pass
+    per shard — the multi-chip production path (~50x the XLA stencil rate
+    per chip); ``engine="xla"`` keeps the scatter-stencil class as a slow
+    portable oracle. Inputs must be padded to a multiple of ``mesh.size *
+    chunk`` (pad with ``values = 0``, ``h = 1``). Jittable; call under
+    ``jax.jit`` for production.
     """
     single = values.ndim == 1
     if single:
@@ -84,6 +106,53 @@ def deposit_2d_sharded(
         offset=spec.sample_offset,
         periodic=spec.periodic_wrap,
     )
+
+    if engine == "pallas":
+        cfg = _pallas_level_for_K(K)
+        geom = _level_geometry(cfg, spec)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        support_factor = get_kernel(kernel).support_factor
+        extent = spec_static["extent"]
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=P(),
+            # pallas_call's out_shape carries no varying-mesh-axes annotation
+            check_vma=False,
+        )
+        def step(xs, ys, hs, vs):
+            # pad the shard to the pallas chunk multiple; padding parks at
+            # the extent max with weight 0
+            n = xs.shape[0]
+            n_pad = ((n + _PALLAS_CHUNK - 1) // _PALLAS_CHUNK) * _PALLAS_CHUNK
+            if n_pad != n:
+                xs = jnp.pad(xs, (0, n_pad - n), constant_values=extent[1])
+                ys = jnp.pad(ys, (0, n_pad - n), constant_values=extent[3])
+                hs = jnp.pad(hs, (0, n_pad - n), constant_values=1.0)
+                vs = jnp.pad(vs, ((0, n_pad - n), (0, 0)))
+            img = _deposit_2d_pallas_traced(
+                xs, ys, hs, vs.T,
+                geom=geom,
+                spec_shape=spec_static["shape"],
+                spec_extent=extent,
+                periodic=spec_static["periodic"],
+                offset=spec_static["offset"],
+                n_fields=n_fields,
+                kernel=kernel,
+                support_factor=support_factor,
+                precision=precision,
+                interpret=interpret,
+            )  # (F, ny, nx)
+            return jax.lax.psum(img, axis_name)
+
+        image = jnp.moveaxis(step(x, y, h, values), 0, -1)
+        return image[..., 0] if single else image
+
+    if engine != "xla":
+        raise ValueError(f"Unknown engine {engine!r} (pallas | xla)")
 
     @partial(
         jax.shard_map,

@@ -115,3 +115,88 @@ def grid3d_oracle(
                     continue
                 grid[zi, yi, xi] = np.sum(values[mask] * w_fn(np.sqrt(r2[mask]), h[mask]))
     return grid
+
+
+def project_oracle_fast(
+    x: np.ndarray,
+    y: np.ndarray,
+    h: np.ndarray,
+    values: np.ndarray,
+    shape: tuple[int, int],
+    extent: tuple[float, float, float, float],
+    kernel: str = "cubic_spline",
+    pixel_origin: str = "center",
+    periodic: bool = False,
+    support_factor: float = 2.0,
+) -> np.ndarray:
+    """Particle-scatter f64 oracle: identical math to :func:`project_oracle`
+    (validated against it in tests) but O(N * footprint) via ``np.add.at`` —
+    usable at the 1e6-1e8 scales where the per-pixel gather is intractable.
+    """
+    ny, nx = shape
+    x0, x1, y0, y1 = extent
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    off = 0.5 if pixel_origin == "center" else 0.0
+    w_fn = KERNEL_ORACLES[kernel]
+
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    h = np.asarray(h, np.float64)
+    values = np.asarray(values, np.float64)
+    image = np.zeros((ny, nx), dtype=np.float64)
+
+    s_pix = support_factor * h / min(psx, psy)
+    order = np.argsort(s_pix)
+    x, y, h, values, s_pix = x[order], y[order], h[order], values[order], s_pix[order]
+    # group by footprint level so each chunk uses a tight window
+    bounds = np.array([2, 4, 8, 16, 32, 64, 128, 100000], dtype=np.float64)
+    lvl = np.searchsorted(bounds, 2 * s_pix + 2, side="left")
+    chunk = 65536
+    xs_d = x0 + (np.arange(nx) + off) * psx
+    ys_d = y0 + (np.arange(ny) + off) * psy
+    for li in np.unique(lvl):
+        idx = np.nonzero(lvl == li)[0]
+        # windowed scatter assumes each pixel appears once in the window;
+        # periodic windows wider than the image would multi-count images
+        if li >= len(bounds) - 1 or (periodic and bounds[li] > min(nx, ny)):
+            # footprint wider than the largest window: dense per-particle add
+            for i in idx:
+                dx = xs_d[None, :] - x[i]
+                dy = ys_d[:, None] - y[i]
+                if periodic:
+                    dx = dx - np.round(dx / (x1 - x0)) * (x1 - x0)
+                    dy = dy - np.round(dy / (y1 - y0)) * (y1 - y0)
+                r2 = dx * dx + dy * dy
+                inside = r2 < (support_factor * h[i]) ** 2
+                image += np.where(inside, w_fn(np.sqrt(r2), h[i]), 0.0) * values[i]
+            continue
+        K = int(bounds[li])
+        ks = np.arange(K)
+        for c0 in range(0, idx.size, chunk):
+            sel = idx[c0 : c0 + chunk]
+            u = (x[sel] - x0) / psx
+            v = (y[sel] - y0) / psy
+            jx = (np.floor(u - off + 0.5).astype(np.int64) - K // 2)[:, None] + ks
+            jy = (np.floor(v - off + 0.5).astype(np.int64) - K // 2)[:, None] + ks
+            dxp = (jx + off - u[:, None]) * psx
+            dyp = (jy + off - v[:, None]) * psy
+            r2 = dyp[:, :, None] ** 2 + dxp[:, None, :] ** 2
+            hs = h[sel][:, None, None]
+            inside = r2 < (support_factor * hs) ** 2
+            w = np.where(inside, w_fn(np.sqrt(r2), hs), 0.0)
+            w *= values[sel][:, None, None]
+            if periodic:
+                fy = np.mod(jy, ny)[:, :, None]
+                fx = np.mod(jx, nx)[:, None, :]
+                flat = (fy * nx + fx).ravel()
+                np.add.at(image.reshape(-1), flat, w.ravel())
+            else:
+                iny = (jy >= 0) & (jy < ny)
+                inx = (jx >= 0) & (jx < nx)
+                valid = iny[:, :, None] & inx[:, None, :]
+                fy = np.clip(jy, 0, ny - 1)[:, :, None]
+                fx = np.clip(jx, 0, nx - 1)[:, None, :]
+                flat = (fy * nx + fx).ravel()
+                np.add.at(image.reshape(-1), flat[valid.ravel()], w.ravel()[valid.ravel()])
+    return image

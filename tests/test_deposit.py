@@ -214,3 +214,20 @@ class TestBinning:
             if idx.size:
                 s_pix = 2.0 * h[idx] / ps[0]
                 assert (2 * s_pix + 2 <= K + 1e-9).all()
+
+
+def test_fast_oracle_matches_gather_oracle(rng):
+    # the scatter f64 oracle (used for large-n fidelity artifacts) must agree
+    # with the reference-parity per-pixel gather oracle to fp precision
+    from oracles import project_oracle, project_oracle_fast
+
+    n = 1200
+    box = 10.0
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = 10.0 ** rng.uniform(-1.2, 1.2, n)
+    m = rng.uniform(0.5, 2.0, n)
+    for periodic in (False, True):
+        a = project_oracle(x, y, h, m, (48, 48), (0, box, 0, box), periodic=periodic)
+        b = project_oracle_fast(x, y, h, m, (48, 48), (0, box, 0, box), periodic=periodic)
+        assert np.abs(a - b).max() / a.max() < 1e-12

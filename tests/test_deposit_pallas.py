@@ -120,3 +120,20 @@ class TestPallasDeposit:
         got = np.asarray(deposit_2d_pallas(x, y, h, m, spec, precision="f32"))
         expected = project_oracle(x, y, h, m, spec.shape, spec.extent, pixel_origin="corner")
         assert rel_err(got, expected) < 1e-5
+
+
+class TestAdviceRegressions:
+    def test_auto_periodic_odd_shape_falls_back(self, rng):
+        # ADVICE r1 #2: a periodic 100x100 map (ny % 8 != 0) must route to the
+        # XLA fallback instead of crashing inside deposit_2d_pallas
+        box = 5.0
+        spec = MapSpec(shape=(100, 100), extent=(0.0, box, 0.0, box), periodic_wrap=True)
+        px = box / 100
+        n = 400
+        x = rng.uniform(0, box, n)
+        y = rng.uniform(0, box, n)
+        h = rng.uniform(0.8, 1.3, n) * px
+        m = np.ones(n)
+        got = np.asarray(deposit_2d_auto(x, y, h, m, spec, precision="f32"))
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent, periodic=True)
+        assert rel_err(got, expected) < 1e-5

@@ -28,7 +28,8 @@ def mesh():
 
 
 class TestSharded2D:
-    def test_matches_oracle(self, mesh, rng):
+    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    def test_matches_oracle(self, mesh, rng, engine):
         n = 5000
         box = 10.0
         x = rng.uniform(0, box, n)
@@ -41,12 +42,13 @@ class TestSharded2D:
         img = deposit_2d_sharded(
             jnp.asarray(xp, jnp.float32), jnp.asarray(yp, jnp.float32),
             jnp.asarray(hp, jnp.float32), jnp.asarray(mp, jnp.float32),
-            spec, mesh, K=8, chunk=chunk,
+            spec, mesh, K=8, chunk=chunk, engine=engine, precision="f32",
         )
         expected = project_oracle(x, y, h, m, spec.shape, spec.extent)
         assert rel_err(np.asarray(img), expected) < 1e-5
 
-    def test_jit_and_multifield(self, mesh, rng):
+    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    def test_jit_and_multifield(self, mesh, rng, engine):
         n = 2048
         box = 10.0
         x = rng.uniform(0, box, n)
@@ -61,7 +63,10 @@ class TestSharded2D:
 
         @jax.jit
         def render(x_, y_, h_, f_):
-            return deposit_2d_sharded(x_, y_, h_, f_, spec, mesh, K=8, chunk=chunk)
+            return deposit_2d_sharded(
+                x_, y_, h_, f_, spec, mesh, K=8, chunk=chunk,
+                engine=engine, precision="f32",
+            )
 
         img = render(
             jnp.asarray(xp, jnp.float32), jnp.asarray(yp, jnp.float32),
@@ -70,6 +75,24 @@ class TestSharded2D:
         assert img.shape == (32, 32, 2)
         exp0 = project_oracle(x, y, h, m, spec.shape, spec.extent)
         assert rel_err(np.asarray(img[..., 0]), exp0) < 1e-5
+
+    def test_pallas_periodic_sharded(self, mesh, rng):
+        n = 3000
+        box = 8.0
+        x = rng.uniform(0, box, n)
+        y = rng.uniform(0, box, n)
+        x[:200] = rng.uniform(0, 0.05, 200)  # edge hugging
+        h = np.full(n, 0.2)
+        m = np.ones(n)
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box), periodic_wrap=True)
+        xp, yp, hp, mp = pad_for_mesh([x, y, h, m], 8, 256, pad_values=[0, 0, 1.0, 0])
+        img = deposit_2d_sharded(
+            jnp.asarray(xp, jnp.float32), jnp.asarray(yp, jnp.float32),
+            jnp.asarray(hp, jnp.float32), jnp.asarray(mp, jnp.float32),
+            spec, mesh, K=8, engine="pallas", precision="f32",
+        )
+        expected = project_oracle(x, y, h, m, spec.shape, spec.extent, periodic=True)
+        assert rel_err(np.asarray(img), expected) < 1e-5
 
 
 class TestSharded3D:
