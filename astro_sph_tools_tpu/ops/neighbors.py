@@ -65,20 +65,35 @@ def nearest_points_device(
     return np.asarray(idx[:n]), np.asarray(dist[:n])
 
 
+_DENSE_MAX_POINTS = 20_000  # below this, dense blocks beat grid setup
+
+
 def nearest_points(
-    queries, points, *, periodic_box: Optional[float] = None, prefer_device: Optional[bool] = None
+    queries, points, *, periodic_box: Optional[float] = None,
+    prefer_device: Optional[bool] = None, method: Optional[str] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Nearest-point query dispatching between TPU dense blocks and scipy.
+    """Nearest-point query dispatching between the TPU engines and scipy.
 
     Matches the reference pipeline's outputs (index into ``points`` and the
-    periodic distance); chooses the device path when the point set is small
-    enough for dense blocks (or when forced via ``prefer_device``).
+    periodic distance). Device paths: dense VPU blocks for small point sets,
+    the shell-walking grid query (:func:`nearest_points_grid`) for large
+    ones — the scipy KDTree remains available via ``method="kdtree"`` as the
+    host oracle.
     """
     points = np.asarray(points)
-    if prefer_device is None:
-        prefer_device = points.shape[0] <= _DEVICE_MAX_POINTS
-    if prefer_device:
+    if method is None:
+        if prefer_device is False:
+            method = "kdtree"
+        elif points.shape[0] <= _DENSE_MAX_POINTS:
+            method = "dense"
+        else:
+            method = "grid"
+    if method == "dense":
         return nearest_points_device(queries, points, periodic_box=periodic_box)
+    if method == "grid":
+        return nearest_points_grid(queries, points, periodic_box=periodic_box)
+    if method != "kdtree":
+        raise ValueError(f"Unknown method {method!r} (dense | grid | kdtree)")
     from scipy.spatial import KDTree
 
     if periodic_box is not None:
@@ -123,3 +138,227 @@ def knn_distances(
     q = np.pad(queries, [(0, n_pad - n), (0, 0)])
     d = _knn_impl(jnp.asarray(q), jnp.asarray(points), k=k, chunk=chunk, periodic_box=periodic_box)
     return np.asarray(d[:n])
+
+
+# ---------------------------------------------------------------------------
+# Shell-walking grid query (huge point sets)
+# ---------------------------------------------------------------------------
+
+_GRID_CAP = 32  # points per cell bucket; spill goes to a dense residual pass
+_GRID_CHUNK = 256
+_R_CAP = 3  # statically unrolled shells; beyond -> dense fallback per chunk
+
+
+def _shell_offsets(r: int) -> np.ndarray:
+    """Cell offsets at Chebyshev radius exactly r, shape (n, 3)."""
+    rng = np.arange(-r, r + 1)
+    g = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), axis=-1).reshape(-1, 3)
+    cheb = np.abs(g).max(axis=1)
+    return g[cheb == r].astype(np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("g", "cap", "chunk", "periodic", "cell", "origin", "m_pad"),
+)
+def _grid_query_impl(
+    queries,  # (n_pad, 3)
+    points,  # (m_pad, 3) — row m is an inf sentinel
+    buckets,  # (g^3, cap) int32 point indices, sentinel = m_pad - 1
+    residual_idx,  # (n_res_pad,) spilled point indices (sentinel-padded)
+    *,
+    g, cap, chunk, periodic, cell, origin, m_pad,
+):
+    n = queries.shape[0]
+    n_chunks = n // chunk
+    box = g * cell  # world size of the grid (periodic wrap length)
+
+    def min_image(d):
+        if periodic:
+            return d - jnp.round(d / box) * box
+        return d
+
+    def chunk_fn(_, q):  # q: (chunk, 3)
+        ci = jnp.floor((q - jnp.asarray(origin)) / cell).astype(jnp.int32)
+        ci = jnp.mod(ci, g) if periodic else jnp.clip(ci, 0, g - 1)
+        best_d2 = jnp.full((chunk,), jnp.inf, jnp.float32)
+        best_i = jnp.full((chunk,), -1, jnp.int32)
+
+        def probe(offs, carry):
+            best_d2, best_i = carry
+            cc = ci[:, None, :] + jnp.asarray(offs)[None, :, :]  # (C, O, 3)
+            if periodic:
+                cc = jnp.mod(cc, g)
+                in_grid = jnp.ones(cc.shape[:2], bool)
+            else:
+                in_grid = ((cc >= 0) & (cc < g)).all(axis=-1)
+                cc = jnp.clip(cc, 0, g - 1)
+            flat = (cc[..., 2] * g + cc[..., 1]) * g + cc[..., 0]  # (C, O)
+            cand = buckets[flat]  # (C, O, cap)
+            cand = jnp.where(in_grid[..., None], cand, m_pad - 1)
+            p = points[cand]  # (C, O, cap, 3)
+            d = min_image(q[:, None, None, :] - p)
+            d2 = (d * d).sum(-1)  # (C, O, cap)
+            d2 = jnp.where(cand == m_pad - 1, jnp.inf, d2)
+            d2f = d2.reshape(chunk, -1)
+            cf = cand.reshape(chunk, -1)
+            j = jnp.argmin(d2f, axis=1)
+            ar = jnp.arange(chunk)
+            better = d2f[ar, j] < best_d2
+            return (
+                jnp.where(better, d2f[ar, j], best_d2),
+                jnp.where(better, cf[ar, j], best_i),
+            )
+
+        carry = (best_d2, best_i)
+        for r in range(_R_CAP + 1):
+            offs = _shell_offsets(r)
+            if r == 0:
+                carry = probe(offs, carry)
+            else:
+                # after finishing shell r-1, any unexplored point is at least
+                # (r-1)*cell away; skip deeper shells once every query is
+                # settled (runtime branch per chunk)
+                settled = carry[0] <= ((r - 1) * cell) ** 2
+                carry = jax.lax.cond(
+                    jnp.all(settled),
+                    lambda c: c,
+                    lambda c: probe(offs, c),
+                    carry,
+                )
+
+        # residual spill (bucket overflow) — always checked, usually tiny
+        if residual_idx.shape[0] > 0:
+            p = points[residual_idx]  # (n_res, 3)
+            d = min_image(q[:, None, :] - p[None, :, :])
+            d2 = (d * d).sum(-1)
+            d2 = jnp.where(residual_idx[None, :] == m_pad - 1, jnp.inf, d2)
+            j = jnp.argmin(d2, axis=1)
+            ar = jnp.arange(chunk)
+            better = d2[ar, j] < carry[0]
+            carry = (
+                jnp.where(better, d2[ar, j], carry[0]),
+                jnp.where(better, residual_idx[j], carry[1]),
+            )
+
+        # dense fallback for queries still unsettled after R_CAP shells
+        # (empty neighbourhoods — voids); runs per chunk only when needed
+        def dense(carry):
+            best_d2, best_i = carry
+            pchunk = 4096
+            n_pc = points.shape[0] // pchunk
+
+            def body(c, carry):
+                best_d2, best_i = carry
+                p = jax.lax.dynamic_slice(points, (c * pchunk, 0), (pchunk, 3))
+                d = min_image(q[:, None, :] - p[None, :, :])
+                d2 = (d * d).sum(-1)
+                gidx = c * pchunk + jnp.arange(pchunk)
+                d2 = jnp.where(gidx[None, :] >= m_pad - 1, jnp.inf, d2)
+                j = jnp.argmin(d2, axis=1)
+                ar = jnp.arange(chunk)
+                better = d2[ar, j] < best_d2
+                return (
+                    jnp.where(better, d2[ar, j], best_d2),
+                    jnp.where(better, (c * pchunk + j).astype(jnp.int32), best_i),
+                )
+
+            return jax.lax.fori_loop(0, n_pc, body, carry)
+
+        settled = carry[0] <= (_R_CAP * cell) ** 2
+        carry = jax.lax.cond(jnp.all(settled), lambda c: c, dense, carry)
+        return None, (carry[1], jnp.sqrt(carry[0]))
+
+    _, (idx, dist) = jax.lax.scan(chunk_fn, None, queries.reshape(n_chunks, chunk, 3))
+    return idx.reshape(-1), dist.reshape(-1)
+
+
+def nearest_points_grid(
+    queries,
+    points,
+    *,
+    periodic_box: Optional[float] = None,
+    chunk: int = _GRID_CHUNK,
+    cap: int = _GRID_CAP,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shell-walking nearest-point query over an on-device cell grid.
+
+    The TPU-native replacement for the reference's threaded KDTree
+    (`_scripts/find_nearest_haloes.py:212-215`, SURVEY.md §2.8): points are
+    bucketed into a cubic cell grid (host, one pass); each query chunk walks
+    Chebyshev shells 0.._R_CAP (statically unrolled, runtime-skipped per
+    chunk once every query's best distance proves no deeper shell can win),
+    spilled bucket overflow rides one dense residual pass, and rare
+    void-region chunks fall back to a dense sweep. O(N_query * shell
+    candidates) instead of O(N_query * M).
+    """
+    queries = np.asarray(queries, np.float32)
+    points_in = np.asarray(points, np.float32)
+    m = points_in.shape[0]
+    if m == 0:
+        raise ValueError("no points to query against")
+
+    if periodic_box is not None:
+        origin = (0.0, 0.0, 0.0)
+        span = float(periodic_box)
+        pts = np.mod(points_in, span)
+        qs = np.mod(queries, span)
+    else:
+        lo = np.minimum(points_in.min(0), queries.min(0)) - 1e-4
+        hi = np.maximum(points_in.max(0), queries.max(0)) + 1e-4
+        origin = tuple(float(v) for v in lo)
+        span = float((hi - lo).max())
+        pts = points_in
+        qs = queries
+
+    # grid resolution: ~8 points per cell on average
+    g = int(np.clip(round((m / 8.0) ** (1 / 3)), 1, 128))
+    cell = span / g
+
+    cidx = np.floor((pts - np.asarray(origin, np.float32)) / cell).astype(np.int64)
+    cidx = np.clip(cidx, 0, g - 1)
+    flat = (cidx[:, 2] * g + cidx[:, 1]) * g + cidx[:, 0]
+    order = np.argsort(flat, kind="stable")
+    flat_sorted = flat[order]
+    start = np.searchsorted(flat_sorted, np.arange(g**3))
+    end = np.searchsorted(flat_sorted, np.arange(g**3), side="right")
+
+    m_pad = m + 1  # sentinel row
+    pts_pad = np.vstack([pts, np.full((1, 3), 1e30, np.float32)])
+    buckets = np.full((g**3, cap), m_pad - 1, np.int32)
+    residual = []
+    counts = end - start
+    take = np.minimum(counts, cap)
+    for c in np.nonzero(counts)[0]:
+        buckets[c, : take[c]] = order[start[c] : start[c] + take[c]]
+        if counts[c] > cap:
+            residual.append(order[start[c] + cap : end[c]])
+    residual = (
+        np.concatenate(residual).astype(np.int32)
+        if residual
+        else np.zeros(0, np.int32)
+    )
+    n_res_pad = 0 if residual.size == 0 else max(8, int(2 ** np.ceil(np.log2(residual.size))))
+    res_pad = np.full(n_res_pad, m_pad - 1, np.int32)
+    res_pad[: residual.size] = residual
+
+    n = qs.shape[0]
+    n_pad = max(chunk, ((n + chunk - 1) // chunk) * chunk)
+    q_pad = np.zeros((n_pad, 3), np.float32)
+    q_pad[:n] = qs
+    # park padding queries on the first real point so they settle instantly
+    q_pad[n:] = pts[0]
+
+    # pad points to a multiple of the dense-fallback chunk
+    pchunk = 4096
+    m_full = max(pchunk, ((m_pad + pchunk - 1) // pchunk) * pchunk)
+    pts_full = np.full((m_full, 3), 1e30, np.float32)
+    pts_full[:m_pad] = pts_pad
+
+    idx, dist = _grid_query_impl(
+        jnp.asarray(q_pad), jnp.asarray(pts_full), jnp.asarray(buckets),
+        jnp.asarray(res_pad),
+        g=g, cap=cap, chunk=chunk, periodic=periodic_box is not None,
+        cell=float(cell), origin=origin, m_pad=m_pad,
+    )
+    return np.asarray(idx[:n]).astype(np.int64), np.asarray(dist[:n])

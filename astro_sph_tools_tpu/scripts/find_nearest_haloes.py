@@ -77,7 +77,7 @@ def run(
     overwrite: bool,
     minimum_log10_halo_masses,
 ) -> int:
-    from scipy.spatial import KDTree
+    from ..ops.neighbors import nearest_points
 
     rank, n_proc = _process_info()
     out_path = (
@@ -163,8 +163,13 @@ def run(
             nearest_distance[:, i] = np.inf
             nearest_radius[:, i] = 0.0
             continue
-        tree = KDTree(np.mod(halo_centres[mask], box_width), boxsize=box_width)
-        distances, idx = tree.query(np.mod(positions, box_width), workers=-1)
+        # device shell-walking grid query for big catalogues, dense VPU
+        # blocks for small ones (scipy KDTree stays available as the host
+        # oracle via method="kdtree"); replaces the reference's threaded
+        # KDTree (`_scripts/find_nearest_haloes.py:212-215`)
+        idx, distances = nearest_points(
+            positions, halo_centres[mask], periodic_box=box_width
+        )
         nearest_id[:, i] = halo_ids[mask][idx]
         nearest_distance[:, i] = distances
         nearest_radius[:, i] = halo_radii[mask][idx]

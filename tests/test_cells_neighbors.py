@@ -105,3 +105,39 @@ class TestKnn:
         tree = KDTree(p, boxsize=box)
         exp, _ = tree.query(p, k=32)
         np.testing.assert_allclose(d, exp, rtol=1e-4, atol=1e-5)
+
+
+class TestGridQuery:
+    """Shell-walking grid query vs scipy KDTree (VERDICT r1 item 7)."""
+
+    def test_clustered_periodic_matches_kdtree(self, rng):
+        from astro_sph_tools_tpu.ops.neighbors import nearest_points_grid
+        from scipy.spatial import KDTree
+
+        box = 12.0
+        M, Q = 9000, 2500
+        centres = rng.uniform(0, box, (12, 3))
+        blob = centres[rng.integers(0, 12, M // 2)] + rng.normal(0, 0.3, (M // 2, 3))
+        pts = np.vstack(
+            [np.mod(blob, box), rng.uniform(0, box, (M - M // 2, 3))]
+        ).astype(np.float32)
+        qs = rng.uniform(0, box, (Q, 3)).astype(np.float32)
+        gi, gd = nearest_points_grid(qs, pts, periodic_box=box)
+        tree = KDTree(np.mod(pts, box), boxsize=box)
+        kd, ki = tree.query(np.mod(qs, box), workers=-1)
+        assert np.abs(gd - kd).max() < 1e-4
+        # void-heavy queries exercised the dense fallback; indexes match up
+        # to exact ties (compare distances of chosen points instead)
+        assert (gi == ki).mean() > 0.999
+
+    def test_open_box_and_dispatcher(self, rng):
+        from astro_sph_tools_tpu.ops.neighbors import nearest_points
+        from scipy.spatial import KDTree
+
+        M, Q = 3000, 800
+        pts = rng.normal(0, 3.0, (M, 3)).astype(np.float32)
+        qs = rng.normal(0, 4.0, (Q, 3)).astype(np.float32)
+        gi, gd = nearest_points(qs, pts, method="grid")
+        tree = KDTree(pts)
+        kd, ki = tree.query(qs, workers=-1)
+        assert np.abs(gd - kd).max() < 1e-4
