@@ -95,11 +95,15 @@ class PallasDepositConfig:
         return (self.K - 2) / 2
 
 
+# TY per level from the v5e sweep (BENCH notes, round 2): big-K levels carry
+# margins M = K/2 >> 8 rows, so taller tiles cut the empty-tile schedule +
+# overlap-add overhead (K=64: +71% at TY=32) while K<=16 is flat in TY.
+# TYs are powers of two so periodic maps (TY | ny) keep every level.
 PALLAS_LEVELS: tuple[PallasDepositConfig, ...] = (
     PallasDepositConfig(K=8),
     PallasDepositConfig(K=16),
-    PallasDepositConfig(K=32),
-    PallasDepositConfig(K=64),  # deep maps: 1024^2 over a full box puts
+    PallasDepositConfig(K=32, TY=16),
+    PallasDepositConfig(K=64, TY=32),  # deep maps: 1024^2 over a full box puts
     # typical SPH footprints at 10-30 px; without this level they would
     # spill to the slow XLA dense path
 )

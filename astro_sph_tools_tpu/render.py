@@ -166,8 +166,12 @@ def render_halo_maps(
     resolution: int = 256,
     kernel: str = "cubic_spline",
     engine: str = "pallas",
+    mesh=None,
 ) -> list[MapStack]:
     """Halo-centric multi-field map stacks (BASELINE config 5's analysis shape).
+
+    With ``mesh`` given, dispatches to :func:`render_halo_maps_sharded`
+    (surface-density cutouts rendered from the mesh-sharded particle set).
 
     For each requested halo, recentres the box on the halo's centre of
     potential (periodic ``shift_centre``) and renders a cutout of
@@ -178,6 +182,25 @@ def render_halo_maps(
     from .io.catalogue import BasicHaloDefinitions
     from .kernels.splines import get_kernel
     from .ops.periodic import shift_centre
+
+    if mesh is not None:
+        if radius_definition is None:
+            radius_definition = BasicHaloDefinitions.SO_200_CRIT.value
+        return render_halo_maps_sharded(
+            snapshot.get_positions(particle_type).to_value("Mpc"),
+            snapshot.get_smoothing_lengths(particle_type).to_value("Mpc"),
+            snapshot.get_masses(particle_type).to_value("Msun"),
+            catalogue.get_halo_centres_of_potential().to_value("Mpc"),
+            catalogue.get_halo_radii(radius_definition).to_value("Mpc"),
+            halo_indexes,
+            mesh,
+            box=float(snapshot.box_size.value[0]),
+            radius_multiple=radius_multiple,
+            axis=axis,
+            resolution=resolution,
+            kernel=kernel,
+            particle_type=particle_type,
+        )
 
     if radius_definition is None:
         radius_definition = BasicHaloDefinitions.SO_200_CRIT.value
@@ -253,6 +276,86 @@ def render_halo_maps(
             MapStack(
                 maps=result, spec=spec, axis=axis, particle_type=particle_type,
                 timings={},
+            )
+        )
+    return stacks
+
+
+def render_halo_maps_sharded(
+    positions,  # (N, 3) Mpc — sharded (or shardable) over the mesh
+    h,  # (N,)
+    mass,  # (N,)
+    centres,  # (n_haloes, 3) host catalogue centres
+    radii,  # (n_haloes,) host catalogue radii (R_def)
+    halo_indexes,
+    mesh,
+    *,
+    box: float,
+    radius_multiple: float = 2.0,
+    axis: CoordinateAxes = CoordinateAxes.Z,
+    resolution: int = 256,
+    kernel: str = "cubic_spline",
+    particle_type: ParticleType = ParticleType.gas,
+    axis_name: str = "data",
+    precision: str = "bf16x2",
+) -> list[MapStack]:
+    """Halo cutout surface-density maps from a mesh-sharded particle array
+    (BASELINE config 5's multi-chip analysis shape).
+
+    Each halo's render is one jit program over the mesh: periodic recentre
+    (elementwise over the sharded axis), then the fused sharded Pallas
+    deposit + psum. No host-side particle selection — out-of-cutout
+    particles contribute nothing to the tile windows, so the full sharded
+    array feeds every halo and the catalogue arrays stay host-side.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .kernels.splines import get_kernel
+    from .ops.periodic import shift_centre
+    from .parallel.sharded import _PALLAS_CHUNK, deposit_2d_sharded, pad_for_mesh
+
+    support_max = get_kernel(kernel).support_factor * float(np.asarray(h).max())
+    i, j = axis.projection_plane
+    n_dev = mesh.shape[axis_name]
+    pos_p, h_p, m_p = pad_for_mesh(
+        [np.asarray(positions, np.float32), np.asarray(h, np.float32),
+         np.asarray(mass, np.float32)],
+        n_dev, _PALLAS_CHUNK, pad_values=[0.0, 1.0, 0.0],
+    )
+    pos_d = jnp.asarray(pos_p)
+    h_d = jnp.asarray(h_p)
+    m_d = jnp.asarray(m_p)
+
+    centres = np.asarray(centres)
+    radii = np.asarray(radii)
+
+    stacks = []
+    for halo_index in np.atleast_1d(halo_indexes):
+        half_width = radius_multiple * float(radii[halo_index])
+        lo, hi = box / 2 - half_width, box / 2 + half_width
+        spec = MapSpec(
+            shape=(resolution, resolution), extent=(lo, hi, lo, hi),
+            periodic_wrap=False,
+        )
+        centre = jnp.asarray(centres[halo_index], jnp.float32)
+        # level sized to the largest footprint at this cutout's pixel scale
+        px = 2 * half_width / resolution
+        K = max(8, 2 * int(np.ceil(support_max / px)) + 2)
+
+        @jax.jit
+        def render(pos_, h_, m_, centre_):
+            recentred = shift_centre(pos_, centre_, box)
+            return deposit_2d_sharded(
+                recentred[:, i], recentred[:, j], h_, m_, spec, mesh,
+                K=K, engine="pallas", precision=precision,
+            )
+
+        img = np.asarray(render(pos_d, h_d, m_d, centre))
+        stacks.append(
+            MapStack(
+                maps={"surface_density": img}, spec=spec, axis=axis,
+                particle_type=particle_type, timings={},
             )
         )
     return stacks

@@ -136,3 +136,29 @@ class TestSharded3D:
         )
         expected = np.asarray(deposit_3d(pos, h, m, spec, chunk=512))
         assert rel_err(np.asarray(grid), expected) < 1e-5
+
+
+class TestShardedHaloMaps:
+    """Config-5 shape: catalogue centres -> cutouts -> sharded Pallas render."""
+
+    def test_matches_oracle(self, mesh, rng):
+        from astro_sph_tools_tpu.ops.periodic import shift_centre
+        from astro_sph_tools_tpu.render import render_halo_maps_sharded
+
+        box = 16.0
+        n = 4000
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        h = np.full(n, 0.15, np.float32)
+        m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        centres = rng.uniform(0, box, (3, 3)).astype(np.float32)
+        radii = np.array([1.2, 0.8, 1.5], np.float32)
+        stacks = render_halo_maps_sharded(
+            pos, h, m, centres, radii, [0, 2], mesh, box=box, resolution=64,
+            precision="f32",
+        )
+        for k, hi in enumerate([0, 2]):
+            rc = np.asarray(shift_centre(pos, centres[hi], box))
+            hw = 2.0 * radii[hi]
+            lo, hiw = box / 2 - hw, box / 2 + hw
+            exp = project_oracle(rc[:, 0], rc[:, 1], h, m, (64, 64), (lo, hiw, lo, hiw))
+            assert rel_err(stacks[k]["surface_density"], exp) < 1e-5
