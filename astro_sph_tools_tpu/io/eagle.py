@@ -223,9 +223,15 @@ class SnapshotEAGLE(SnapshotBase):
         self, cgs_units: str, data: np.ndarray, h_exp: float, cgs_conversion_factor: float,
         a_exp: float = 0.0,
     ) -> UnitArray:
-        """physical = raw * h^h_exp * a^a_exp * cgs; a_exp = 0 keeps co-moving."""
+        """physical = raw * h^h_exp * a^a_exp * cgs; a_exp = 0 keeps co-moving.
+
+        The conversion runs in f64 regardless of the on-disk dtype: EAGLE
+        files store f32 datasets, and e.g. particle masses overflow f32 once
+        expressed in grams (1e6 Msun ~ 2e39 g > f32 max)."""
         return unit_array(
-            data * (self.h**h_exp) * (self.a**a_exp) * cgs_conversion_factor, cgs_units
+            np.asarray(data, dtype=np.float64)
+            * (self.h**h_exp) * (self.a**a_exp) * cgs_conversion_factor,
+            cgs_units,
         )
 
     def _convert_to_cgs_length(self, data, proper=False) -> UnitArray:

@@ -315,8 +315,9 @@ class LineOfSightEAGLE(LineOfSightBase):
         (`_LineOfSightEAGLE.py:72-75`)."""
         with self.file.get_readonly_file_handle() as f:
             ds = f[f"LOS{self._index}/{field}"]
+            # f64 conversion: f32 on-disk data overflows in CGS grams
             data = (
-                ds[:]
+                np.asarray(ds[:], dtype=np.float64)
                 * (self.file.h ** float(ds.attrs["h-scale-exponent"]))
                 * (self.file.a ** (0.0 if comoving else float(ds.attrs["aexp-scale-exponent"])))
                 * float(ds.attrs["CGSConversionFactor"])

@@ -335,7 +335,8 @@ class CatalogueSOAP(CatalogueBase):
         else:
             raise halo_type.make_error(CatalogueSOAP)
         data, cgs = self._soap_field(field)
-        return unit_array(data * cgs, "g").to("Msun")
+        # f64 conversion: f32 on-disk data overflows in CGS grams
+        return unit_array(np.asarray(data, np.float64) * cgs, "g").to("Msun")
 
     def get_halo_radii(self, halo_type, particle_type=None, use_proper_units=False) -> UnitArray:
         if not isinstance(halo_type, CriticalSphericalOverdensityAperture):

@@ -1,0 +1,226 @@
+"""BASELINE metric at the stated scale: 1e8-particle snapshot -> 1024^2
+multi-field adaptive-h map stack, end-to-end wall-clock on one chip.
+
+Writes (once, cached in /tmp) a lean EAGLE-schema snapshot with 2^27 ~ 1.34e8
+gas particles (clustered positions, log-normal smoothing lengths spanning the
+K=8..64 footprint levels), then streams it through the production pipeline in
+file-split macro-chunks: h5py read + unit conversion -> device tile sort ->
+fused Pallas deposit, maps accumulated across chunks (the deposit is linear).
+Chunking bounds HBM to the known-good 33.5M working set and lets later chunks'
+HDF5 reads overlap earlier chunks' device work.
+
+Run on the TPU host:  python benchmarks/e2e_1e8.py [log2_n_gas] [n_chunks]
+Emits one JSON line: {"metric": "e2e_snapshot_to_map_1024", ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import h5py
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BOX_MPC = 25.0
+RESOLUTION = 1024
+
+
+def write_big_snapshot(directory: str, n_gas: int, n_files: int, seed: int = 11) -> str:
+    """Lean EAGLE-schema snapshot: only the datasets the render needs, written
+    per-file so host memory stays bounded. Schema/attr recipe matches
+    ``io.synthetic.write_snapshot`` (reference `_SnapshotEAGLE.py:78-113`)."""
+    from astro_sph_tools_tpu import constants as C
+    from astro_sph_tools_tpu.io.synthetic import (
+        DENSITY_CGS, LENGTH_CGS, MASS_CGS, MSUN_IN_1E10, VELOCITY_CGS,
+        SyntheticSnapshotSpec,
+    )
+    from astro_sph_tools_tpu.io.synthetic import ENERGY_CGS, PRESSURE_CGS, TIME_CGS
+
+    spec = SyntheticSnapshotSpec(box_size_mpc=BOX_MPC, n_gas=n_gas)
+    h = spec.hubble_param
+    tag = spec.tag
+    snap_dir = os.path.join(directory, f"snapshot_{tag}")
+    os.makedirs(snap_dir, exist_ok=True)
+    first_path = os.path.join(snap_dir, f"snap_{tag}.0.hdf5")
+    if os.path.exists(os.path.join(snap_dir, f"snap_{tag}.{n_files - 1}.hdf5")):
+        return first_path
+
+    rng = np.random.default_rng(seed)
+    n_dm = 64
+    edges = np.linspace(0, n_gas, n_files + 1).astype(int)
+    dm_edges = np.linspace(0, n_dm, n_files + 1).astype(int)
+    num_part_total = np.zeros(6, np.int64)
+    num_part_total[0] = n_gas
+    num_part_total[1] = n_dm
+    px = BOX_MPC / RESOLUTION
+    n_blobs = 64
+    blob_centres = rng.uniform(0, BOX_MPC, (n_blobs, 3))
+
+    for fi in range(n_files):
+        i0, i1 = int(edges[fi]), int(edges[fi + 1])
+        n = i1 - i0
+        # clustered positions: half uniform background, half Gaussian blobs
+        nb = n // 2
+        pos = np.empty((n, 3), np.float32)
+        pos[: n - nb] = rng.uniform(0, BOX_MPC, (n - nb, 3)).astype(np.float32)
+        which = rng.integers(0, n_blobs, nb)
+        pos[n - nb :] = np.mod(
+            blob_centres[which] + rng.normal(0, BOX_MPC * 0.02, (nb, 3)), BOX_MPC
+        ).astype(np.float32)
+        # log-normal smoothing lengths spanning the footprint levels
+        hs = np.exp(rng.normal(np.log(0.9 * px), 0.55, n)).astype(np.float32)
+        hs = np.clip(hs, 0.25 * px, 24.0 * px)
+        mass = rng.uniform(0.8e6, 1.2e6, n).astype(np.float32)
+        temp = np.exp(rng.normal(np.log(1e5), 1.0, n)).astype(np.float32)
+
+        path = os.path.join(snap_dir, f"snap_{tag}.{fi}.hdf5")
+        with h5py.File(path, "w") as f:
+            hdr = f.create_group("Header")
+            hdr.attrs["Redshift"] = spec.redshift
+            hdr.attrs["HubbleParam"] = h
+            hdr.attrs["ExpansionFactor"] = spec.expansion_factor
+            hdr.attrs["OmegaBaryon"] = spec.omega_baryon
+            hdr.attrs["Omega0"] = 0.307
+            hdr.attrs["NumPart_Total"] = num_part_total
+            this_file = np.zeros(6, np.int64)
+            this_file[0] = n
+            this_file[1] = int(dm_edges[fi + 1] - dm_edges[fi])
+            hdr.attrs["NumPart_ThisFile"] = this_file
+            hdr.attrs["NumFilesPerSnapshot"] = n_files
+            mass_table = np.zeros(6, np.float64)
+            mass_table[1] = 6e6 * h * MSUN_IN_1E10
+            hdr.attrs["MassTable"] = mass_table
+            hdr.attrs["BoxSize"] = BOX_MPC * h
+
+            f.create_group("Constants").attrs["Z_Solar"] = spec.solar_metallicity
+            units = f.create_group("Units")
+            units.attrs["UnitLength_in_cm"] = LENGTH_CGS
+            units.attrs["UnitMass_in_g"] = MASS_CGS
+            units.attrs["UnitVelocity_in_cm_per_s"] = VELOCITY_CGS
+            units.attrs["UnitDensity_in_cgs"] = DENSITY_CGS
+            units.attrs["UnitEnergy_in_cgs"] = ENERGY_CGS
+            units.attrs["UnitPressure_in_cgs"] = PRESSURE_CGS
+            units.attrs["UnitTime_in_s"] = TIME_CGS
+
+            def attrs(ds, h_exp, a_exp, cgs):
+                ds.attrs["h-scale-exponent"] = float(h_exp)
+                ds.attrs["aexp-scale-exponent"] = float(a_exp)
+                ds.attrs["CGSConversionFactor"] = float(cgs)
+
+            g = f.create_group("PartType0")
+            ds = g.create_dataset("Coordinates", data=pos * h)
+            attrs(ds, -1.0, 1.0, LENGTH_CGS)
+            ds = g.create_dataset("SmoothingLength", data=hs * h)
+            attrs(ds, -1.0, 1.0, LENGTH_CGS)
+            ds = g.create_dataset("Mass", data=mass * (h * MSUN_IN_1E10))
+            attrs(ds, -1.0, 0.0, MASS_CGS)
+            ds = g.create_dataset("Temperature", data=temp)
+            attrs(ds, 0.0, 0.0, 1.0)
+
+            nd = int(dm_edges[fi + 1] - dm_edges[fi])
+            g1 = f.create_group("PartType1")
+            ds = g1.create_dataset(
+                "Coordinates", data=rng.uniform(0, BOX_MPC, (nd, 3)) * h
+            )
+            attrs(ds, -1.0, 1.0, LENGTH_CGS)
+            ds = g1.create_dataset("Velocity", data=np.zeros((nd, 3), np.float32))
+            attrs(ds, 0.0, 0.5, VELOCITY_CGS)
+        print(f"  wrote file {fi + 1}/{n_files} ({n:.2e} gas)", flush=True)
+    return first_path
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_bench_cache",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from astro_sph_tools_tpu.data_structures import ParticleType
+    from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+    from astro_sph_tools_tpu.ops.deposit import MapSpec
+    from astro_sph_tools_tpu.ops.deposit_pallas import deposit_tiled, tile_particles
+
+    log2_n = int(sys.argv[1]) if len(sys.argv) > 1 else 27
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_gas = 1 << log2_n
+    cache = os.path.join("/tmp", f"ast_e2e_big_{log2_n}")
+    os.makedirs(cache, exist_ok=True)
+    t0 = time.perf_counter()
+    first = write_big_snapshot(cache, n_gas, n_files=2 * n_chunks)
+    t_write = time.perf_counter() - t0
+    if t_write > 1:
+        print(f"snapshot written in {t_write:.1f}s (one-time)", flush=True)
+
+    spec = MapSpec(
+        shape=(RESOLUTION, RESOLUTION), extent=(0.0, BOX_MPC, 0.0, BOX_MPC),
+        periodic_wrap=True,
+    )
+
+    t_total = time.perf_counter()
+    io_s = tile_s = deposit_s = 0.0
+    total = None
+    for ci in range(n_chunks):
+        t0 = time.perf_counter()
+        snap = SnapshotEAGLE(first, process_index=ci, n_processes=n_chunks)
+        pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
+        hs = snap.get_smoothing_lengths(ParticleType.gas).to_value("Mpc")
+        mass = snap.get_masses(ParticleType.gas).to_value("Msun")
+        temp = snap.get_temperatures(ParticleType.gas).to_value("K")
+        io_s += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        values = np.stack([mass, mass * temp], axis=0).astype(np.float32)
+        tp = tile_particles(pos[:, 0], pos[:, 1], hs, values, spec)
+        jax.block_until_ready(tp.sorted_u)
+        tile_s += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        maps = deposit_tiled(tp, precision="bf16x2")
+        total = maps if total is None else total + maps
+        jax.block_until_ready(total)
+        deposit_s += time.perf_counter() - t0
+        print(
+            f"  chunk {ci + 1}/{n_chunks}: io {io_s:.2f}s tile {tile_s:.2f}s "
+            f"deposit {deposit_s:.2f}s (cumulative)",
+            flush=True,
+        )
+
+    sigma = np.asarray(total[0])
+    mwt = np.asarray(total[1])
+    mean_t = np.where(sigma > 0, mwt / np.maximum(sigma, 1e-30), 0.0)
+    wall = time.perf_counter() - t_total
+    assert np.isfinite(sigma).all() and np.isfinite(mean_t).all()
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e snapshot->1024^2 2-field adaptive-h map stack wall-clock",
+                "value": round(wall, 2),
+                "unit": "seconds",
+                "n_particles": n_gas,
+                "particles_per_sec": round(n_gas / wall, 1),
+                "phases_s": {
+                    "io": round(io_s, 2),
+                    "tile_sort": round(tile_s, 2),
+                    "deposit": round(deposit_s, 2),
+                },
+                "backend": jax.default_backend(),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

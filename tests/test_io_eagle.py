@@ -284,3 +284,20 @@ def test_wrapped_interval_mask_degenerate():
     # sanity: normal + wrapped intervals still work
     assert _wrapped_interval_mask(v, 2.0, 4.0, 10.0).sum() == 10
     assert _wrapped_interval_mask(v, 9.0, 11.0, 10.0).sum() == 10
+
+
+def test_cgs_conversion_upcasts_f32(synthetic_snapshot_dir=None):
+    # f32 on-disk data must not overflow when expressed in CGS grams
+    # (1e6 Msun ~ 2e39 g > f32 max); conversion runs in f64
+    from astro_sph_tools_tpu.io.synthetic import SyntheticSnapshotSpec, write_snapshot
+    from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spec = SyntheticSnapshotSpec(n_gas=64, n_dm=32, n_star=8, n_bh=2, n_files=1)
+        path, _ = write_snapshot(d, spec)
+        snap = SnapshotEAGLE(path)
+        raw = np.asarray([2.0e-5], np.float32)  # ~ raw internal mass units
+        out = snap.make_cgs_data("g", raw, h_exp=-1.0, cgs_conversion_factor=1.989e43)
+        assert np.isfinite(out.value).all()
+        assert out.value.dtype == np.float64
