@@ -2,12 +2,17 @@
 
 The 2D fused-deposit architecture (``deposit_pallas``) generalised to voxel
 cubes: particles are binned to (TZ, TY, TX)-voxel tiles, one device sort
-groups them, and a Pallas grid accumulates each tile's extended block
-(TZ+K, TY+K, TX+K) in VMEM. The accumulator flattens (z, y) into the sublane
-dimension — rows r decode to (rz = r // Ry, ry = r % Ry) with pure 2D integer
-ops, so the kernel never builds >2D tensors (a Mosaic-friendliness lesson
-from the 2D kernel). Column placement is the same exact one-hot MXU matmul;
-halo resolution is a 27-band (3 axes) overlap-add of regular slices.
+groups them, and a Pallas **flat work-list grid** (one packed int32 schedule
+word per step — see ``deposit_pallas._step_schedule``) accumulates each
+tile's extended block (TZ+K, TY+K, TX+K) in VMEM: fully traceable (no host
+sync), no dead steps for sparse tiles, composable with ``shard_map``. The
+accumulator flattens (z, y) into the sublane dimension — rows r decode to
+(rz = r // Ry, ry = r % Ry) with pure 2D integer ops, so the kernel never
+builds >2D tensors (a Mosaic-friendliness lesson from the 2D kernel). Column
+placement is the same exact one-hot MXU matmul; halo resolution is a 27-band
+(3 axes) overlap-add of regular slices with **per-axis** periodicity (the
+slab-sharded multi-chip path wraps x/y locally while z rides the ppermute
+ring).
 
 Numerics: grid value = sum_i value_i * W(|r_i|, h_i) with the full 3D kernel
 at the true voxel-sample distance — identical to ``ops.grid3d`` and the f64
@@ -27,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels.splines import get_kernel
-from .deposit_pallas import _next_pow2
+from .deposit_pallas import _TILE_MASK, _next_pow2, _step_schedule, _tile_ranges
 from .grid3d import GridSpec
 
 Array = jax.Array
@@ -81,7 +86,12 @@ PALLAS_3D_LEVELS: tuple[Pallas3DConfig, ...] = (
 
 
 def _deposit3d_kernel(
-    pstart_ref, pcount_ref,
+    # scalar prefetch (5): packed flat work-list (see deposit_pallas)
+    sched_ref,  # (n_steps,) tile id | work bit << 29
+    block_start_ref,  # (n_tiles,)
+    tile_off_ref,  # (n_tiles,)
+    pstart_ref,  # (n_tiles,)
+    pcount_ref,  # (n_tiles,)
     chunk_ref,  # (1, 8, C): channels [u, v, w, h, val0..val3]
     acc_ref,  # (1, F*R, S)
     *,
@@ -98,23 +108,22 @@ def _deposit3d_kernel(
     offset: float,
     precision: str,
 ):
-    t = pl.program_id(0)
-    j = pl.program_id(1)
+    s = pl.program_id(0)
+    t = sched_ref[s] & _TILE_MASK
     K, R, RZ, RY, S, TZ, TY, M = (
         cfg.K, cfg.R, cfg.RZ, cfg.RY, cfg.S, cfg.TZ, cfg.TY, cfg.M,
     )
     kernel = get_kernel(kernel_name)
 
-    @pl.when(j == 0)
+    t_prev = sched_ref[jnp.maximum(s - 1, 0)] & _TILE_MASK
+    first = (s == 0) | (t != t_prev)
+    work = (sched_ref[s] >> 29) & 1
+
+    @pl.when(first)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # block_start and nchunks derive from (pstart, pcount): prefetching them
-    # as separate tables would double the SMEM footprint
-    block_start = pstart_ref[t] // C
-    nchunks = (pstart_ref[t] + pcount_ref[t] + C - 1) // C - block_start
-
-    @pl.when(j < nchunks)
+    @pl.when(work == 1)
     def _work():
         data = chunk_ref[0]  # (8, C)
         u = data[0:1, :]  # voxel-space x
@@ -122,7 +131,7 @@ def _deposit3d_kernel(
         w_ = data[2:3, :]  # voxel-space z
         h = data[3:4, :]  # world-unit smoothing length
 
-        base = (block_start + j) * C
+        base = (block_start_ref[t] + (s - tile_off_ref[t])) * C
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         gidx = base + lane
         valid = (gidx >= pstart_ref[t]) & (gidx < pstart_ref[t] + pcount_ref[t])
@@ -206,19 +215,20 @@ def _overlap_add_3d(
     nz: int,
     ny: int,
     nx: int,
-    periodic: bool,
+    periodic: tuple[bool, bool, bool],  # (x, y, z)
 ) -> Array:
     RZ, RY, TZ, TY, M = cfg.RZ, cfg.RY, cfg.TZ, cfg.TY, cfg.M
+    per_x, per_y, per_z = periodic
     t = tiles.reshape(ntz, nty, ntx, n_fields, RZ, RY, cfg.S)
     t = t[..., : tx + 2 * M]  # drop lane padding
     t = t.transpose(3, 0, 1, 2, 4, 5, 6)  # (F, ntz, nty, ntx, RZ, RY, SX)
 
     img = jnp.zeros((n_fields, ntz, TZ, nty, TY, ntx, tx), dtype=tiles.dtype)
 
-    def shift(a, axis, p):
+    def shift(a, axis, p, wrap):
         if p == 0:
             return a
-        if periodic:
+        if wrap:
             return jnp.roll(a, p, axis=axis)
         pad = [(0, 0)] * a.ndim
         idx = [slice(None)] * a.ndim
@@ -234,9 +244,9 @@ def _overlap_add_3d(
         for y0, yh, yps, yoff in _bands(M, TY):
             for x0, xw, xps, xoff in _bands(M, tx):
                 band = t[:, :, :, :, z0 : z0 + zh, y0 : y0 + yh, x0 : x0 + xw]
-                band = shift(band, 1, zps)
-                band = shift(band, 2, yps)
-                band = shift(band, 3, xps)
+                band = shift(band, 1, zps, per_z)
+                band = shift(band, 2, yps, per_y)
+                band = shift(band, 3, xps, per_x)
                 # (F, ntz, zh, nty, yh, ntx, xw)
                 band = band.transpose(0, 1, 4, 2, 5, 3, 6)
                 img = img.at[
@@ -258,105 +268,150 @@ def _choose_tx_3d(cfg: Pallas3DConfig, nx: int, periodic: bool) -> int:
     return tx
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_fields", "extent", "shape", "periodic", "tz", "ty", "tx",
-        "n_tiles_x", "n_tiles_y", "n_tiles_z",
-    ),
-)
-def _prepare3d_impl(
-    pos, h, values,
-    *, n_fields, extent, shape, periodic, tz, ty, tx,
-    n_tiles_x, n_tiles_y, n_tiles_z,
-):
+@dataclass(frozen=True)
+class _Geometry3D:
+    cfg: Pallas3DConfig
+    tx: int
+    ntx: int
+    nty: int
+    ntz: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.ntx * self.nty * self.ntz
+
+
+def _geometry_3d(
+    cfg: Pallas3DConfig, spec_shape, periodic: tuple[bool, bool, bool]
+) -> _Geometry3D:
+    nz, ny, nx = spec_shape
+    per_x, per_y, per_z = periodic
+    tx = _choose_tx_3d(cfg, nx, per_x)
+    if per_y and ny % cfg.TY:
+        raise ValueError("periodic-y 3D pallas deposit requires TY | ny")
+    if per_z and nz % cfg.TZ:
+        raise ValueError("periodic-z 3D pallas deposit requires TZ | nz")
+    return _Geometry3D(
+        cfg=cfg, tx=tx,
+        ntx=(nx + tx - 1) // tx,
+        nty=(ny + cfg.TY - 1) // cfg.TY,
+        ntz=(nz + cfg.TZ - 1) // cfg.TZ,
+    )
+
+
+def _deposit_3d_pallas_traced(
+    cx, cy, cz, h, values,  # (N,) x4 + (F, N); N a multiple of _CHUNK
+    *,
+    geom: _Geometry3D,
+    spec_shape, spec_extent, periodic: tuple[bool, bool, bool], offset,
+    n_fields: int,
+    kernel: str,
+    precision: str,
+    interpret: bool,
+) -> Array:
+    """Fully traceable 3D fused deposit: sort -> schedule -> pallas ->
+    overlap-add, no host sync. Safe under jit / shard_map."""
     C = _CHUNK
-    x0, x1, y0, y1, z0, z1 = extent
-    nz, ny, nx = shape
+    cfg, tx = geom.cfg, geom.tx
+    nz, ny, nx = spec_shape
+    x0, x1, y0, y1, z0, z1 = spec_extent
     psx = (x1 - x0) / nx
     psy = (y1 - y0) / ny
     psz = (z1 - z0) / nz
+    per_x, per_y, per_z = periodic
 
-    u = (pos[:, 0] - x0) / psx
-    v = (pos[:, 1] - y0) / psy
-    w_ = (pos[:, 2] - z0) / psz
-    if periodic:
+    u = (cx - x0) / psx
+    v = (cy - y0) / psy
+    w_ = (cz - z0) / psz
+    if per_x:
         u = jnp.mod(u, nx)
+    if per_y:
         v = jnp.mod(v, ny)
+    if per_z:
         w_ = jnp.mod(w_, nz)
 
-    txi = jnp.clip((u / tx).astype(jnp.int32), 0, n_tiles_x - 1)
-    tyi = jnp.clip((v / ty).astype(jnp.int32), 0, n_tiles_y - 1)
-    tzi = jnp.clip((w_ / tz).astype(jnp.int32), 0, n_tiles_z - 1)
-    tile_id = ((tzi * n_tiles_y + tyi) * n_tiles_x + txi).astype(jnp.int32)
+    txi = jnp.clip((u / tx).astype(jnp.int32), 0, geom.ntx - 1)
+    tyi = jnp.clip((v / cfg.TY).astype(jnp.int32), 0, geom.nty - 1)
+    tzi = jnp.clip((w_ / cfg.TZ).astype(jnp.int32), 0, geom.ntz - 1)
+    tile_id = ((tzi * geom.nty + tyi) * geom.ntx + txi).astype(jnp.int32)
 
     operands = [tile_id, u, v, w_, h] + [values[f] for f in range(n_fields)]
     sorted_ops = jax.lax.sort(operands, num_keys=1)
-    tile_sorted = sorted_ops[0]
+
     n = u.shape[0]
-    n_tiles = n_tiles_x * n_tiles_y * n_tiles_z
-
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
-    pstart = jnp.searchsorted(tile_sorted, tile_range).astype(jnp.int32)
-    pend = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
-    pcount = pend - pstart
-    nchunks = (pend + C - 1) // C - pstart // C
-
-    n_pad = max(C, ((n + C - 1) // C) * C)
-    n_rows = n_pad // C
+    n_rows = n // C
+    n_tiles = geom.n_tiles
+    pstart, pcount, block_start, nchunks = _tile_ranges(sorted_ops[0], n_tiles, C)
+    n_steps = n_rows + 2 * n_tiles
+    sched, tile_off = _step_schedule(nchunks, n_tiles, n_steps)
 
     def pack(a):
-        return jnp.pad(a, (0, n_pad - n)).reshape(n_rows, C)
+        return a.reshape(n_rows, C)
 
     channels = [pack(sorted_ops[1]), pack(sorted_ops[2]), pack(sorted_ops[3]), pack(sorted_ops[4])]
     channels += [pack(sorted_ops[5 + f]) for f in range(n_fields)]
     channels += [jnp.zeros((n_rows, C), jnp.float32)] * (8 - len(channels))
     packed = jnp.stack(channels, axis=1)
-    return packed, pstart, pcount, nchunks
+
+    tiles = _cached_3d_call(
+        cfg, geom.ntx, geom.nty, n_steps, n_rows, n_fields, tx,
+        kernel, psx, psy, psz, offset, precision, interpret,
+        geom.ntz,
+    )(sched, block_start, tile_off, pstart, pcount, packed)
+
+    return _overlap_add_3d(
+        tiles, cfg, tx, geom.ntz, geom.nty, geom.ntx, n_fields, nz, ny, nx,
+        periodic,
+    )
 
 
 @lru_cache(maxsize=256)
 def _cached_3d_call(
-    cfg, n_tiles, n_tiles_x, n_tiles_y, jmax, n_rows, n_fields, tx,
-    kernel, psx, psy, psz, offset, precision, interpret,
+    cfg, ntx, nty, n_steps, n_rows, n_fields, tx,
+    kernel, psx, psy, psz, offset, precision, interpret, ntz,
 ):
+    n_tiles = ntx * nty * ntz
+
+    def in_idx(s, sched, bs, toff, ps, pc):
+        # clamp: blocks are DMA'd even for skipped steps
+        t = sched[s] & _TILE_MASK
+        return (jnp.clip(bs[t] + (s - toff[t]), 0, n_rows - 1), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles, jmax),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, _CHUNK),
-                # clamp: blocks are DMA'd even for pl.when-skipped steps
-                lambda t, j, ps, pc: (jnp.minimum(ps[t] // _CHUNK + j, n_rows - 1), 0, 0),
-            ),
-        ],
+        num_scalar_prefetch=5,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec((1, 8, _CHUNK), in_idx)],
         out_specs=pl.BlockSpec(
-            (1, n_fields * cfg.R, cfg.S), lambda t, j, ps, pc: (t, 0, 0)
+            (1, n_fields * cfg.R, cfg.S),
+            lambda s, sched, bs, toff, ps, pc: (sched[s] & _TILE_MASK, 0, 0),
         ),
     )
     kern = partial(
         _deposit3d_kernel,
         cfg=cfg, C=_CHUNK, n_fields=n_fields,
-        n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y, tx=tx,
+        n_tiles_x=ntx, n_tiles_y=nty, tx=tx,
         kernel_name=kernel, psx=psx, psy=psy, psz=psz,
         offset=offset, precision=precision,
     )
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, n_fields * cfg.R, cfg.S), jnp.float32),
         interpret=interpret,
     )
-    return jax.jit(call)
 
 
 @lru_cache(maxsize=256)
-def _cached_3d_overlap(cfg, tx, ntz, nty, ntx, n_fields, nz, ny, nx, periodic):
-    return jax.jit(
-        lambda tiles: _overlap_add_3d(
-            tiles, cfg, tx, ntz, nty, ntx, n_fields, nz, ny, nx, periodic
-        )
+def _cached_3d_pipeline(
+    geom, shape, extent, periodic, offset, n_fields, kernel, precision, interpret,
+):
+    fn = partial(
+        _deposit_3d_pallas_traced,
+        geom=geom, spec_shape=shape, spec_extent=extent, periodic=periodic,
+        offset=offset, n_fields=n_fields, kernel=kernel, precision=precision,
+        interpret=interpret,
     )
+    return jax.jit(fn)
 
 
 def deposit_3d_pallas(
@@ -375,18 +430,8 @@ def deposit_3d_pallas(
     cfg = level or PALLAS_3D_LEVELS[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    nz, ny, nx = spec.shape
-    x0, x1, y0, y1, z0, z1 = spec.extent
-    psx = (x1 - x0) / nx
-    psy = (y1 - y0) / ny
-    psz = (z1 - z0) / nz
-
-    tx = _choose_tx_3d(cfg, nx, spec.periodic_wrap)
-    ntx = (nx + tx - 1) // tx
-    nty = (ny + cfg.TY - 1) // cfg.TY
-    ntz = (nz + cfg.TZ - 1) // cfg.TZ
-    if spec.periodic_wrap and (ny % cfg.TY or nz % cfg.TZ):
-        raise ValueError("periodic 3D pallas deposit requires TY | ny and TZ | nz")
+    periodic = (spec.periodic_wrap,) * 3
+    geom = _geometry_3d(cfg, spec.shape, periodic)
 
     pos = jnp.asarray(pos, jnp.float32)
     h = jnp.asarray(h, jnp.float32)
@@ -401,29 +446,15 @@ def deposit_3d_pallas(
     n_bucket = max(_CHUNK, _next_pow2(n))
     if n_bucket != n:
         pad = n_bucket - n
-        pos = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=float(x1))
+        x1 = float(spec.extent[1])
+        pos = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=x1)
         h = jnp.pad(h, (0, pad), constant_values=1.0)
         values = jnp.pad(values, ((0, 0), (0, pad)))
 
-    packed, pstart, pcount, nchunks = _prepare3d_impl(
-        pos, h, values,
-        n_fields=n_fields,
-        extent=tuple(float(e) for e in spec.extent),
-        shape=spec.shape,
-        periodic=spec.periodic_wrap,
-        tz=cfg.TZ, ty=cfg.TY, tx=tx,
-        n_tiles_x=ntx, n_tiles_y=nty, n_tiles_z=ntz,
-    )
-    jmax = _next_pow2(max(int(jnp.max(nchunks)), 1))
-
-    tiles = _cached_3d_call(
-        cfg, ntx * nty * ntz, ntx, nty, jmax, packed.shape[0], n_fields, tx,
-        kernel, psx, psy, psz, spec.sample_offset, precision, interpret,
-    )(pstart, pcount, packed)
-
-    grid = _cached_3d_overlap(cfg, tx, ntz, nty, ntx, n_fields, nz, ny, nx, spec.periodic_wrap)(
-        tiles
-    )
+    grid = _cached_3d_pipeline(
+        geom, spec.shape, tuple(float(e) for e in spec.extent), periodic,
+        spec.sample_offset, n_fields, kernel, precision, interpret,
+    )(pos[:, 0], pos[:, 1], pos[:, 2], h, values)
     return grid[0] if n_fields == 1 else grid
 
 
@@ -456,9 +487,7 @@ def deposit_3d_auto(
         if idx.size == 0:
             continue
         try:
-            _choose_tx_3d(cfg, nx, spec.periodic_wrap)
-            if spec.periodic_wrap and (ny % cfg.TY or nz % cfg.TZ):
-                raise ValueError("tile mismatch")
+            _geometry_3d(cfg, spec.shape, (spec.periodic_wrap,) * 3)
         except ValueError:
             level_idx[idx] = len(PALLAS_3D_LEVELS)
             continue

@@ -186,8 +186,15 @@ def deposit_3d_sharded(
     kernel: str = "cubic_spline",
     chunk: int = 2048,
     axis_name: str = "data",
+    engine: str = "pallas",
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
 ) -> Array:
     """Slab-sharded 3D voxel deposit with ppermute halo exchange.
+
+    ``engine="pallas"`` (default) runs the fused tile-sorted 3D Pallas pass
+    on each shard's extended slab; ``engine="xla"`` keeps the scatter-stencil
+    class as the portable oracle.
 
     The (nz, ny, nx) cube is decomposed into ``mesh.size`` z-slabs. Each
     device receives the particles whose *slab index* matches its mesh
@@ -207,13 +214,31 @@ def deposit_3d_sharded(
     psz = (z1 - z0) / nz
 
     ext_shape = (slab + 2 * halo, ny, nx)
-    ext_extent_local = None  # computed per-device inside the shard
+
+    if engine == "pallas":
+        from ..ops.grid3d_pallas import (
+            _CHUNK as _P3D_CHUNK,
+            PALLAS_3D_LEVELS,
+            _deposit_3d_pallas_traced,
+            _geometry_3d,
+        )
+
+        cfg3 = next((c for c in PALLAS_3D_LEVELS if c.K >= K), None)
+        if cfg3 is None:
+            raise ValueError(f"no 3D pallas level hosts K={K}")
+        periodic3 = (spec.periodic_wrap, spec.periodic_wrap, False)
+        geom3 = _geometry_3d(cfg3, ext_shape, periodic3)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+    elif engine != "xla":
+        raise ValueError(f"Unknown engine {engine!r} (pallas | xla)")
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
+        check_vma=False,
     )
     def step(cx_cy_cz, hs, vs, _dummy):
         cx, cy, cz = cx_cy_cz[:, 0], cx_cy_cz[:, 1], cx_cy_cz[:, 2]
@@ -223,18 +248,37 @@ def deposit_3d_sharded(
         # shift particle z into extended-slab coordinates; extent is static
         cz_local = cz - local_z0
         ext_extent = (x0, x1, y0, y1, 0.0, (slab + 2 * halo) * psz)
-        grid_flat = jnp.zeros((ext_shape[0] * ny * nx, 1), jnp.float32)
-        grid_flat = jax.lax.pcast(grid_flat, (axis_name,), to="varying")
         # x/y wrap locally (each shard holds the full x/y extent); z spill is
         # carried by the extended-slab margins + ppermute ring below
-        grid_flat = _stencil_level_pass_3d(
-            grid_flat, cx, cy, cz_local, hs, vs[:, None],
-            K=K, shape=ext_shape, extent=ext_extent,
-            offset=spec.sample_offset,
-            periodic=(spec.periodic_wrap, spec.periodic_wrap, False),
-            kernel_name=kernel, chunk=chunk,
-        )
-        ext = grid_flat.reshape(ext_shape[0], ny, nx)
+        if engine == "pallas":
+            n = cx.shape[0]
+            n_pad = ((n + _P3D_CHUNK - 1) // _P3D_CHUNK) * _P3D_CHUNK
+            if n_pad != n:
+                cxp = jnp.pad(cx, (0, n_pad - n), constant_values=x1)
+                cyp = jnp.pad(cy, (0, n_pad - n), constant_values=y1)
+                # padding parks past the extended slab's z range
+                czp = jnp.pad(cz_local, (0, n_pad - n), constant_values=ext_extent[5])
+                hp = jnp.pad(hs, (0, n_pad - n), constant_values=1.0)
+                vp = jnp.pad(vs, (0, n_pad - n))
+            else:
+                cxp, cyp, czp, hp, vp = cx, cy, cz_local, hs, vs
+            ext = _deposit_3d_pallas_traced(
+                cxp, cyp, czp, hp, vp[None, :],
+                geom=geom3, spec_shape=ext_shape, spec_extent=ext_extent,
+                periodic=periodic3, offset=spec.sample_offset, n_fields=1,
+                kernel=kernel, precision=precision, interpret=interpret,
+            )[0]
+        else:
+            grid_flat = jnp.zeros((ext_shape[0] * ny * nx, 1), jnp.float32)
+            grid_flat = jax.lax.pcast(grid_flat, (axis_name,), to="varying")
+            grid_flat = _stencil_level_pass_3d(
+                grid_flat, cx, cy, cz_local, hs, vs[:, None],
+                K=K, shape=ext_shape, extent=ext_extent,
+                offset=spec.sample_offset,
+                periodic=(spec.periodic_wrap, spec.periodic_wrap, False),
+                kernel_name=kernel, chunk=chunk,
+            )
+            ext = grid_flat.reshape(ext_shape[0], ny, nx)
 
         # halo exchange: my top halo planes belong to the next slab, bottom
         # to the previous; ring ppermute over ICI

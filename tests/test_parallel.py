@@ -96,7 +96,8 @@ class TestSharded2D:
 
 
 class TestSharded3D:
-    def test_matches_single_device(self, mesh, rng):
+    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    def test_matches_single_device(self, mesh, rng, engine):
         n = 3000
         box = 8.0
         pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
@@ -108,13 +109,14 @@ class TestSharded3D:
         pp, hp, mp = partition_particles_by_slab(pos, h, m, spec, 8, chunk=chunk)
         grid = deposit_3d_sharded(
             jnp.asarray(pp), jnp.asarray(hp), jnp.asarray(mp), spec, mesh,
-            K=4, chunk=chunk,
+            K=4, chunk=chunk, engine=engine, precision="f32",
         )
         expected = np.asarray(deposit_3d(pos, h, m, spec, chunk=512))
         assert grid.shape == spec.shape
         assert rel_err(np.asarray(grid), expected) < 1e-5
 
-    def test_periodic_slabs(self, mesh, rng):
+    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    def test_periodic_slabs(self, mesh, rng, engine):
         n = 1500
         box = 8.0
         # edge-hugging particles in EVERY axis: x/y wrap inside the shard,
@@ -132,7 +134,7 @@ class TestSharded3D:
         pp, hp, mp = partition_particles_by_slab(pos, h, m, spec, 8, chunk=chunk)
         grid = deposit_3d_sharded(
             jnp.asarray(pp), jnp.asarray(hp), jnp.asarray(mp), spec, mesh,
-            K=4, chunk=chunk,
+            K=4, chunk=chunk, engine=engine, precision="f32",
         )
         expected = np.asarray(deposit_3d(pos, h, m, spec, chunk=512))
         assert rel_err(np.asarray(grid), expected) < 1e-5
