@@ -16,7 +16,12 @@ user-facing data is co-moving and h-full, in Mpc / Msun / km/s / K.
 from .__about__ import __version__
 from .data_structures import Cosmology, ParticleType, CoordinateAxes
 from .units import UnitArray, unit_array, unit_quantity
-from .render import MapStack, render_halo_maps, render_map_stack
+from .render import (
+    MapStack,
+    render_halo_maps,
+    render_halo_maps_sharded,
+    render_map_stack,
+)
 
 __all__ = [
     "__version__",
@@ -28,5 +33,6 @@ __all__ = [
     "unit_quantity",
     "MapStack",
     "render_halo_maps",
+    "render_halo_maps_sharded",
     "render_map_stack",
 ]

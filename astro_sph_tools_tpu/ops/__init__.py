@@ -2,13 +2,25 @@
 
 from .cells import CellList, build_cell_list, linear_cell_id, morton_encode_3d
 from .deposit import MapSpec, deposit_2d, deposit_2d_fixed_h, deposit_weighted_mean
-from .deposit_pallas import PALLAS_LEVELS, deposit_2d_auto, deposit_2d_pallas
+from .deposit_pallas import (
+    PALLAS_LEVELS,
+    TiledParticles,
+    deposit_2d_auto,
+    deposit_2d_pallas,
+    deposit_tiled,
+    tile_particles,
+)
 from .grid3d import GridSpec, deposit_3d
 from .grid3d_pallas import PALLAS_3D_LEVELS, deposit_3d_auto, deposit_3d_pallas
 from .interp import cubic_spline_1d, regular_grid_interpolate
-from .neighbors import knn_distances, nearest_points, nearest_points_device
+from .neighbors import (
+    knn_distances,
+    nearest_points,
+    nearest_points_device,
+    nearest_points_grid,
+)
 from .reorder import ArrayMapping, ArrayReorder, MatchPlan, match_ids
-from .sightlines import column_integrate, los_profiles
+from .sightlines import column_integrate, column_integrate_binned, los_profiles
 from .spectra import absorption_spectra, doppler_parameter_kms
 
 from .periodic import (
@@ -31,6 +43,7 @@ __all__ = [
     "build_cell_list",
     "absorption_spectra",
     "column_integrate",
+    "column_integrate_binned",
     "doppler_parameter_kms",
     "cubic_spline_1d",
     "deposit_2d",
@@ -42,6 +55,9 @@ __all__ = [
     "deposit_3d_pallas",
     "PALLAS_3D_LEVELS",
     "deposit_weighted_mean",
+    "deposit_tiled",
+    "tile_particles",
+    "TiledParticles",
     "knn_distances",
     "linear_cell_id",
     "los_profiles",
@@ -49,6 +65,7 @@ __all__ = [
     "morton_encode_3d",
     "nearest_points",
     "nearest_points_device",
+    "nearest_points_grid",
     "regular_grid_interpolate",
     "calculate_periodic",
     "make_periodic",
