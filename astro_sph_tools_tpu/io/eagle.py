@@ -225,14 +225,30 @@ class SnapshotEAGLE(SnapshotBase):
     ) -> UnitArray:
         """physical = raw * h^h_exp * a^a_exp * cgs; a_exp = 0 keeps co-moving.
 
-        The conversion runs in f64 regardless of the on-disk dtype: EAGLE
+        The conversion runs in f64 regardless of the on-disk dtype (EAGLE
         files store f32 datasets, and e.g. particle masses overflow f32 once
-        expressed in grams (1e6 Msun ~ 2e39 g > f32 max)."""
-        return unit_array(
-            np.asarray(data, dtype=np.float64)
-            * (self.h**h_exp) * (self.a**a_exp) * cgs_conversion_factor,
-            cgs_units,
-        )
+        expressed in grams: 1e6 Msun ~ 2e39 g > f32 max), fused into ONE
+        numpy pass — the factors combine into a scalar first, because each
+        extra elementwise pass over a 1e8-row array costs seconds of host
+        memory bandwidth."""
+        scale = (self.h**h_exp) * (self.a**a_exp) * cgs_conversion_factor
+        return unit_array(np.multiply(data, scale, dtype=np.float64), cgs_units)
+
+    #: dtype of returned field arrays. The default f64 preserves the full
+    #: on-disk precision through the unit algebra; large streaming pipelines
+    #: can set ``snap.output_dtype = np.float32`` — safe because the fused
+    #: conversion goes straight to user units (Mpc/Msun/...) without ever
+    #: materialising CGS magnitudes, and each host pass over a 1e8-row array
+    #: costs seconds of (single-core) memory bandwidth.
+    output_dtype = np.float64
+
+    def _fused_unit_data(
+        self, data: np.ndarray, h_exp: float, cgs: float, a_exp: float,
+        unit_cgs_size: float, units: str,
+    ) -> UnitArray:
+        """Raw -> user units in a single fused numpy pass (see make_cgs_data)."""
+        scale = (self.h**h_exp) * (self.a**a_exp) * cgs / unit_cgs_size
+        return unit_array(np.multiply(data, scale, dtype=self.output_dtype), units)
 
     def _convert_to_cgs_length(self, data, proper=False) -> UnitArray:
         return self.make_cgs_data(
@@ -328,7 +344,11 @@ class SnapshotEAGLE(SnapshotBase):
 
     def _get_smoothing_lengths(self, particle_type: ParticleType, use_proper_units: bool) -> UnitArray:
         data = self._read_dataset(particle_type, "SmoothingLength")
-        return self._convert_to_cgs_length(data, proper=use_proper_units).to("Mpc")
+        return self._fused_unit_data(
+            data, self._length_h_exp, self._length_cgs,
+            self._length_a_exp if use_proper_units else 0.0,
+            C.MEGAPARSEC_CGS, "Mpc",
+        )
 
     def _get_masses(self, particle_type: ParticleType) -> UnitArray:
         if particle_type == ParticleType.dark_matter:
@@ -336,7 +356,10 @@ class SnapshotEAGLE(SnapshotBase):
             return unit_array(
                 np.full(n, self.dark_matter_particle_mass.value), "Msun"
             )
-        return self._convert_to_cgs_mass(self._read_dataset(particle_type, "Mass")).to("Msun")
+        return self._fused_unit_data(
+            self._read_dataset(particle_type, "Mass"),
+            self._mass_h_exp, self._mass_cgs, 0.0, C.SOLAR_MASS_CGS, "Msun",
+        )
 
     def _get_black_hole_subgrid_masses(self) -> UnitArray:
         return self._convert_to_cgs_mass(
@@ -350,11 +373,19 @@ class SnapshotEAGLE(SnapshotBase):
 
     def _get_positions(self, particle_type: ParticleType, use_proper_units: bool) -> UnitArray:
         data = self._read_dataset(particle_type, "Coordinates", trailing=(3,))
-        return self._convert_to_cgs_length(data, proper=use_proper_units).to("Mpc")
+        return self._fused_unit_data(
+            data, self._length_h_exp, self._length_cgs,
+            self._length_a_exp if use_proper_units else 0.0,
+            C.MEGAPARSEC_CGS, "Mpc",
+        )
 
     def _get_velocities(self, particle_type: ParticleType, use_proper_units: bool) -> UnitArray:
         data = self._read_dataset(particle_type, "Velocity", trailing=(3,))
-        return self._convert_to_cgs_velocity(data, proper=use_proper_units).to("km/s")
+        return self._fused_unit_data(
+            data, self._velocity_h_exp, self._velocity_cgs,
+            self._velocity_a_exp if use_proper_units else 0.0,
+            1.0e5, "km/s",
+        )
 
     def _get_sfr(self) -> UnitArray:
         raw = self._read_dataset(ParticleType.gas, "StarFormationRate")

@@ -498,12 +498,14 @@ def _as_field_matrix(values) -> tuple[jnp.ndarray, bool]:
     return values, single
 
 
-def _pad_particles_pow2(x, y, h, values, spec: MapSpec):
+def _pad_particles_pow2(x, y, h, values, spec: MapSpec, pad_h: float = 1.0):
     """Pad the particle count to the next power of two so compiled programs
     are reused across snapshots/levels (data-dependent subset sizes would
     otherwise force a fresh ~70s XLA sort compile per render). Padding
     particles park at the extent max (clipped into the last tile) with
-    weight 0 and h = 1."""
+    weight 0 and smoothing length ``pad_h`` (pick a sub-pixel value when the
+    padding must land in the smallest footprint level rather than the
+    oversize fallback)."""
     n = x.shape[0]
     n_bucket = max(_CHUNK, _next_pow2(n))
     if n_bucket != n:
@@ -511,7 +513,7 @@ def _pad_particles_pow2(x, y, h, values, spec: MapSpec):
         x0, x1, y0, y1 = spec.extent
         x = jnp.pad(x, (0, pad), constant_values=float(x1))
         y = jnp.pad(y, (0, pad), constant_values=float(y1))
-        h = jnp.pad(h, (0, pad), constant_values=1.0)
+        h = jnp.pad(h, (0, pad), constant_values=pad_h)
         values = jnp.pad(values, ((0, 0), (0, pad)))
     return x, y, h, values
 
@@ -586,12 +588,15 @@ class TiledParticles:
     spec: MapSpec
     kernel: str
     geoms: tuple  # per populated level: (_LevelGeometry, lo, bucket, count)
-    sorted_u: Array  # (N,) pixel-space coords, (level, tile)-sorted
+    sorted_u: Array  # (2N,) pixel-space coords, (level, tile)-sorted; the
+    # second half is slack so per-level reads are lax.dynamic_slice (a
+    # clipped-index gather at this size costs seconds on TPU)
     sorted_v: Array
     sorted_h: Array
-    sorted_values: Array  # (F, N)
-    sorted_tile: Array  # (N,) tile id within the particle's own level
-    perm: Array  # (N,) original index of each sorted slot
+    sorted_values: Array  # (F, 2N)
+    sorted_tile: Array  # (2N,) tile id within the particle's own level
+    perm: Array  # (2N,) original index of each sorted slot (pads: 0)
+    n_sorted: int  # real sorted length N (pow2-padded particle count)
     n_oversize: int  # trailing segment routed to the XLA fallback
     n_valid: int  # real (non-padding) particle count
 
@@ -612,7 +617,8 @@ class TiledParticles:
             sorted_u=self.sorted_u, sorted_v=self.sorted_v, sorted_h=self.sorted_h,
             sorted_values=values[:, self.perm],
             sorted_tile=self.sorted_tile, perm=self.perm,
-            n_oversize=self.n_oversize, n_valid=self.n_valid,
+            n_sorted=self.n_sorted, n_oversize=self.n_oversize,
+            n_valid=self.n_valid,
         )
 
 
@@ -636,7 +642,10 @@ def tile_particles(
     h = jnp.asarray(h, jnp.float32)
     values, _ = _as_field_matrix(values)
     n_valid = int(x.shape[0])
-    x, y, h, values = _pad_particles_pow2(x, y, h, values, spec)
+    # sub-pixel pad h: padding must land in the smallest level's last tile
+    # (weight 0), NOT inflate the oversize fallback
+    pad_h = 0.1 * min(spec.pixel_size)
+    x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
 
     # geometry per level; a level that cannot tile this (small/periodic) map
     # routes its particles to the oversize fallback
@@ -674,6 +683,7 @@ def tile_particles(
         spec=spec, kernel=kernel, geoms=tuple(level_meta),
         sorted_u=su, sorted_v=sv, sorted_h=sh, sorted_values=s_values,
         sorted_tile=sorted_key, perm=perm,
+        n_sorted=int(x.shape[0]),
         n_oversize=int(counts_host[len(geoms)]),
         n_valid=n_valid,
     )
@@ -729,7 +739,15 @@ def _cached_tile_sort(
             sorted_key, lv + (_LEVEL_STRIDE - 1), side="right"
         ).astype(jnp.int32)
         counts = ends - starts
-        return sorted_key - (sorted_key // _LEVEL_STRIDE) * _LEVEL_STRIDE, su, sv, sh, s_values, perm, counts
+        s_tile = sorted_key - (sorted_key // _LEVEL_STRIDE) * _LEVEL_STRIDE
+        # double-length slack so every level segment (offset lo, pow2 bucket,
+        # lo + bucket <= 2N) is a dynamic_slice, never a gather
+        n = x.shape[0]
+        pad1 = lambda a: jnp.pad(a, (0, n))
+        return (
+            pad1(s_tile), pad1(su), pad1(sv), pad1(sh),
+            jnp.pad(s_values, ((0, 0), (0, n))), pad1(perm), counts,
+        )
 
     return run
 
@@ -766,15 +784,24 @@ def _cached_layout_level(
 
     @jax.jit
     def run(su, sv, sh, s_values, s_tile, lo, count):
-        idx = lo + jnp.arange(bucket, dtype=jnp.int32)
+        # contiguous dynamic_slice reads (the layout arrays carry 2N slack so
+        # lo + bucket never overruns); a clipped-index gather here cost ~6 s
+        # at 33M particles on v5e
         live = jnp.arange(bucket, dtype=jnp.int32) < count
-        idx = jnp.clip(idx, 0, su.shape[0] - 1)
-        u = su[idx]
-        v = sv[idx]
-        h = jnp.where(live, sh[idx], 1.0)
-        vals = jnp.where(live[None, :], s_values[:, idx], 0.0)
+        u = jax.lax.dynamic_slice(su, (lo,), (bucket,))
+        v = jax.lax.dynamic_slice(sv, (lo,), (bucket,))
+        h = jnp.where(live, jax.lax.dynamic_slice(sh, (lo,), (bucket,)), 1.0)
+        vals = jnp.where(
+            live[None, :],
+            jax.lax.dynamic_slice(s_values, (0, lo), (s_values.shape[0], bucket)),
+            0.0,
+        )
         # pad slots sort to a synthetic tile past the last so ranges stay sorted
-        tile = jnp.where(live, s_tile[idx], n_tiles).astype(jnp.int32)
+        tile = jnp.where(
+            live,
+            jax.lax.dynamic_slice(s_tile, (lo,), (bucket,)),
+            n_tiles,
+        ).astype(jnp.int32)
 
         pstart, pcount, block_start, nchunks = _tile_ranges(tile, n_tiles, C)
         sched, tile_off = _step_schedule(nchunks, n_tiles, n_steps)
@@ -814,12 +841,12 @@ def deposit_tiled(
     if tp.n_oversize:
         from .deposit import deposit_2d  # late import: sibling module
 
-        # oversize stragglers live at the end of the sorted layout; recover
-        # world coordinates from pixel space for the dense path
+        # oversize stragglers live at the end of the (real) sorted layout;
+        # recover world coordinates from pixel space for the dense path
         x0, x1, y0, y1 = tp.spec.extent
         psx = (x1 - x0) / nx
         psy = (y1 - y0) / ny
-        sl = slice(tp.perm.shape[0] - tp.n_oversize, None)
+        sl = slice(tp.n_sorted - tp.n_oversize, tp.n_sorted)
         xo = np.asarray(tp.sorted_u[sl]) * psx + x0
         yo = np.asarray(tp.sorted_v[sl]) * psy + y0
         ho = np.asarray(tp.sorted_h[sl])

@@ -167,49 +167,80 @@ def main() -> None:
         periodic_wrap=True,
     )
 
-    t_total = time.perf_counter()
-    io_s = tile_s = deposit_s = 0.0
-    total = None
-    for ci in range(n_chunks):
-        t0 = time.perf_counter()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def read_chunk(ci):
         snap = SnapshotEAGLE(first, process_index=ci, n_processes=n_chunks)
+        # f32 field output: one fused host pass per field, no grams en route
+        snap.output_dtype = np.float32
         pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
         hs = snap.get_smoothing_lengths(ParticleType.gas).to_value("Mpc")
         mass = snap.get_masses(ParticleType.gas).to_value("Msun")
         temp = snap.get_temperatures(ParticleType.gas).to_value("K")
-        io_s += time.perf_counter() - t0
+        return pos, hs, mass, temp
 
-        t0 = time.perf_counter()
-        values = np.stack([mass, mass * temp], axis=0).astype(np.float32)
-        tp = tile_particles(pos[:, 0], pos[:, 1], hs, values, spec)
-        jax.block_until_ready(tp.sorted_u)
-        tile_s += time.perf_counter() - t0
+    pool = ThreadPoolExecutor(max_workers=1)
 
-        t0 = time.perf_counter()
-        maps = deposit_tiled(tp, precision="bf16x2")
-        total = maps if total is None else total + maps
-        jax.block_until_ready(total)
-        deposit_s += time.perf_counter() - t0
-        print(
-            f"  chunk {ci + 1}/{n_chunks}: io {io_s:.2f}s tile {tile_s:.2f}s "
-            f"deposit {deposit_s:.2f}s (cumulative)",
-            flush=True,
-        )
+    def run_pass():
+        t_pass = time.perf_counter()
+        io_s = tile_s = deposit_s = 0.0
+        total = None
+        # prefetch pipeline: chunk i+1's HDF5 read + unit conversion overlaps
+        # chunk i's H2D + device work (h5py/numpy release the GIL)
+        future = pool.submit(read_chunk, 0)
+        for ci in range(n_chunks):
+            t0 = time.perf_counter()
+            pos, hs, mass, temp = future.result()
+            if ci + 1 < n_chunks:
+                future = pool.submit(read_chunk, ci + 1)
+            io_s += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            # payload algebra on device: the host's single core is the scarce
+            # resource at this scale
+            mass_d = jnp.asarray(mass)
+            temp_d = jnp.asarray(temp)
+            values = jnp.stack([mass_d, mass_d * temp_d], axis=0)
+            tp = tile_particles(
+                jnp.asarray(np.ascontiguousarray(pos[:, 0])),
+                jnp.asarray(np.ascontiguousarray(pos[:, 1])),
+                jnp.asarray(hs), values, spec,
+            )
+            jax.block_until_ready(tp.sorted_u)
+            tile_s += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            maps = deposit_tiled(tp, precision="bf16x2")
+            total = maps if total is None else total + maps
+            jax.block_until_ready(total)
+            deposit_s += time.perf_counter() - t0
+            print(
+                f"  chunk {ci + 1}/{n_chunks}: io {io_s:.2f}s tile {tile_s:.2f}s "
+                f"deposit {deposit_s:.2f}s (cumulative)",
+                flush=True,
+            )
+        return total, time.perf_counter() - t_pass, io_s, tile_s, deposit_s
+
+    # pass 1 pays the axon per-process program-preparation cost (minutes for
+    # the big sort executable, regardless of the persistent compile cache);
+    # pass 2 is the steady-state wall-clock a resident service would see
+    total, cold_wall, *_ = run_pass()
+    total, wall, io_s, tile_s, deposit_s = run_pass()
 
     sigma = np.asarray(total[0])
     mwt = np.asarray(total[1])
     mean_t = np.where(sigma > 0, mwt / np.maximum(sigma, 1e-30), 0.0)
-    wall = time.perf_counter() - t_total
     assert np.isfinite(sigma).all() and np.isfinite(mean_t).all()
 
     print(
         json.dumps(
             {
-                "metric": "e2e snapshot->1024^2 2-field adaptive-h map stack wall-clock",
+                "metric": "e2e snapshot->1024^2 2-field adaptive-h map stack wall-clock (steady)",
                 "value": round(wall, 2),
                 "unit": "seconds",
                 "n_particles": n_gas,
                 "particles_per_sec": round(n_gas / wall, 1),
+                "cold_start_s": round(cold_wall, 2),
                 "phases_s": {
                     "io": round(io_s, 2),
                     "tile_sort": round(tile_s, 2),

@@ -137,3 +137,42 @@ class TestAdviceRegressions:
         got = np.asarray(deposit_2d_auto(x, y, h, m, spec, precision="f32"))
         expected = project_oracle(x, y, h, m, spec.shape, spec.extent, periodic=True)
         assert rel_err(got, expected) < 1e-5
+
+
+class TestTiledLayout:
+    def test_non_pow2_padding_stays_out_of_oversize(self, rng):
+        # pow2 padding parks in the smallest level (weight 0), never in the
+        # oversize fallback, and the oversize slice excludes the slack region
+        from astro_sph_tools_tpu.ops.deposit_pallas import deposit_tiled, tile_particles
+
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+        px = box / 64
+        n = 3000  # not a power of two
+        x = rng.uniform(0, box, n)
+        y = rng.uniform(0, box, n)
+        h = 10.0 ** rng.uniform(-0.3, 1.2, n) * px  # includes real oversize
+        m = rng.uniform(0.5, 2.0, n)
+        tp = tile_particles(x, y, h, m, spec)
+        n_real_oversize = int((2.0 * h / px > 31).sum())  # beyond K=64 window
+        assert tp.n_oversize == n_real_oversize
+        got = np.asarray(deposit_tiled(tp, precision="f32"))[0]
+        exp = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        assert rel_err(got, exp) < 1e-5
+
+    def test_with_values_reuses_layout(self, rng):
+        from astro_sph_tools_tpu.ops.deposit_pallas import deposit_tiled, tile_particles
+
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+        px = box / 64
+        n = 2500
+        x = rng.uniform(0, box, n)
+        y = rng.uniform(0, box, n)
+        h = 10.0 ** rng.uniform(-0.3, 0.8, n) * px
+        m = rng.uniform(0.5, 2.0, n)
+        tp = tile_particles(x, y, h, m, spec)
+        m2 = rng.uniform(1.0, 3.0, n)
+        got = np.asarray(deposit_tiled(tp.with_values(m2), precision="f32"))[0]
+        exp = project_oracle(x, y, h, m2, spec.shape, spec.extent)
+        assert rel_err(got, exp) < 1e-5
