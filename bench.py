@@ -46,7 +46,7 @@ def main() -> None:
     for attempt, cooldown in ((1, 180), (2, 300), (3, 0)):
         try:
             if has_alarm:
-                signal.alarm(480)
+                signal.alarm(540)
             _run()
             if has_alarm:
                 signal.alarm(0)
@@ -120,15 +120,56 @@ def _run() -> None:
     # warm up / compile
     out = render()
     jax.block_until_ready(out)
+    _ = float(out.sum())
 
+    # a host round-trip (not just block_until_ready, which the axon tunnel
+    # has been observed to satisfy early) closes the timed window; one
+    # round-trip for all iterations keeps tunnel latency out of the rate
     iters = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(iters):
         out = render()
-    jax.block_until_ready(out)
+    checksum = float(out[0].sum())
     dt = (time.perf_counter() - t0) / iters
-
     deposits_per_sec = n / dt
+
+    # secondary: the adaptive-h device pipeline (multi-level tile sort +
+    # per-level fused passes) on a realistic lognormal footprint spectrum —
+    # VERDICT r1 asked the bench not to measure only the friendliest regime.
+    # Guarded so a failure here never costs the primary metric.
+    adaptive = {}
+    if on_tpu:
+        try:
+            from astro_sph_tools_tpu.ops.deposit_pallas import (
+                deposit_tiled,
+                tile_particles,
+            )
+
+            spec_a = MapSpec(
+                shape=shape, extent=(0.0, box, 0.0, box), periodic_wrap=True
+            )
+            kh2, km2 = jax.random.split(jax.random.PRNGKey(12), 2)
+            log_h = jax.random.normal(kh2, (n,)) * 0.55 + jnp.log(0.9 * px)
+            h_a = jnp.clip(jnp.exp(log_h), 0.25 * px, 24 * px).astype(jnp.float32)
+            jax.block_until_ready(h_a)
+
+            def render_adaptive():
+                tp = tile_particles(x, y, h_a, fields, spec_a)
+                return deposit_tiled(tp, precision="bf16x2")
+
+            out_a = render_adaptive()
+            jax.block_until_ready(out_a)  # compile/load
+            t0 = time.perf_counter()
+            out_a = render_adaptive()
+            _ = float(out_a[0].sum())
+            dt_a = time.perf_counter() - t0
+            adaptive = {
+                "adaptive_deposits_per_sec": round(n / dt_a, 1),
+                "adaptive_wall_clock_s": round(dt_a, 4),
+            }
+        except Exception as err:  # pragma: no cover - keep the primary metric
+            adaptive = {"adaptive_error": type(err).__name__}
+
     path = "fused pallas deposit incl. tile sort" if on_tpu else "xla stencil deposit (cpu smoke)"
     print(
         json.dumps(
@@ -142,6 +183,7 @@ def _run() -> None:
                 "n_particles": n,
                 "wall_clock_s": round(dt, 4),
                 "backend": backend,
+                **adaptive,
             }
         )
     )
