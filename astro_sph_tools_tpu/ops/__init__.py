@@ -21,7 +21,11 @@ from .neighbors import (
 )
 from .reorder import ArrayMapping, ArrayReorder, MatchPlan, match_ids
 from .sightlines import column_integrate, column_integrate_binned, los_profiles
-from .spectra import absorption_spectra, doppler_parameter_kms
+from .spectra import (
+    absorption_spectra,
+    absorption_spectra_binned,
+    doppler_parameter_kms,
+)
 
 from .periodic import (
     calculate_periodic,
@@ -42,6 +46,7 @@ __all__ = [
     "PALLAS_LEVELS",
     "build_cell_list",
     "absorption_spectra",
+    "absorption_spectra_binned",
     "column_integrate",
     "column_integrate_binned",
     "doppler_parameter_kms",

@@ -209,3 +209,237 @@ def absorption_spectra(
         ray_blocks.append(block[: r1 - r0])
     spectra = jnp.concatenate(ray_blocks, axis=0)
     return spectra, v_centres
+
+
+# ---------------------------------------------------------------------------
+# Cell-binned engine (config 4 at scale): same candidate scheme as
+# sightlines.column_integrate_binned — per-level cell sort, ray blocks scan
+# only their 1-ring cell-row span — with the velocity smear as an MXU matmul
+# per candidate chunk: tau[B, nbins] += w_col[B, C] @ phi[C, nbins].
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_name", "chunk", "n_blocks", "B", "ncx", "ncy", "periodic",
+        "n_pad", "n_bins", "periodic_velocity",
+    ),
+)
+def _binned_spectra_impl(
+    px, py, h, colv, v_eff, b_dopp,  # cell-sorted particles, padded to n_pad
+    row_start, row_end,
+    rx, ry, ray_row,
+    v_centres, lut, box,
+    *,
+    kernel_name, chunk, n_blocks, B, ncx, ncy, periodic, n_pad, n_bins,
+    periodic_velocity,
+):
+    kernel = get_kernel(kernel_name)
+    S = kernel.support_factor
+    n_chunk_rows = n_pad // chunk
+    inv_sqrt_pi = 1.0 / math.sqrt(math.pi)
+
+    def block_fn(_, b):
+        r0 = ray_row[b * B]
+        r1 = ray_row[b * B + B - 1]
+        rxb = jax.lax.dynamic_slice(rx, (b * B,), (B,))
+        ryb = jax.lax.dynamic_slice(ry, (b * B,), (B,))
+
+        lo_r = jnp.maximum(r0 - 1, 0)
+        hi_r = jnp.minimum(r1 + 1, ncy - 1)
+        loA = row_start[lo_r]
+        hiA = row_end[hi_r]
+        if periodic:
+            covers_all = (r0 == 0) & (r1 == ncy - 1)
+            need_top = (r0 == 0) & ~covers_all
+            need_bot = (r1 == ncy - 1) & ~covers_all
+            loB = jnp.where(need_top, row_start[ncy - 1], 0)
+            hiB = jnp.where(need_top, row_end[ncy - 1], 0)
+            loC = jnp.where(need_bot, row_start[0], 0)
+            hiC = jnp.where(need_bot, row_end[0], 0)
+        else:
+            loB = hiB = loC = hiC = jnp.int32(0)
+
+        def range_sum(tau, lo, hi):
+            c0 = lo // chunk
+            c1 = jnp.minimum((hi + chunk - 1) // chunk, n_chunk_rows)
+
+            def inner(c, tau):
+                g0 = c * chunk
+                xs = jax.lax.dynamic_slice(px, (g0,), (chunk,))
+                ys = jax.lax.dynamic_slice(py, (g0,), (chunk,))
+                hs = jax.lax.dynamic_slice(h, (g0,), (chunk,))
+                Ns = jax.lax.dynamic_slice(colv, (g0,), (chunk,))
+                vs = jax.lax.dynamic_slice(v_eff, (g0,), (chunk,))
+                bs = jax.lax.dynamic_slice(b_dopp, (g0,), (chunk,))
+                gidx = g0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+                live = (gidx >= lo) & (gidx < hi)
+                dx = rxb[:, None] - xs[None, :]
+                dy = ryb[:, None] - ys[None, :]
+                if periodic:
+                    dx = dx - jnp.round(dx / box[0]) * box[0]
+                    dy = dy - jnp.round(dy / box[1]) * box[1]
+                b2 = dx * dx + dy * dy  # (B, C)
+                w_col = integrated_kernel_lookup(lut, jnp.sqrt(b2), hs[None, :], S)
+                w_col = jnp.where(
+                    live[None, :] & (b2 < (S * hs[None, :]) ** 2),
+                    w_col * Ns[None, :], 0.0,
+                )
+                dv = v_centres[:, None] - vs[None, :]  # (nbins, C)
+                if periodic_velocity is not None:
+                    vbox = periodic_velocity
+                    dv = dv - jnp.round(dv / vbox) * vbox
+                    phi = jnp.zeros_like(dv)
+                    for k in (-3, -2, -1, 0, 1, 2, 3):
+                        dvk = dv + k * vbox
+                        phi = phi + jnp.exp(-((dvk / bs[None, :]) ** 2))
+                    phi = phi * (inv_sqrt_pi / bs[None, :])
+                else:
+                    phi = jnp.exp(-((dv / bs[None, :]) ** 2)) * (
+                        inv_sqrt_pi / bs[None, :]
+                    )
+                return tau + jnp.einsum("rc,bc->rb", w_col, phi)
+
+            return jax.lax.fori_loop(c0, c1, inner, tau)
+
+        tau = jnp.zeros((B, n_bins), jnp.float32)
+        tau = range_sum(tau, loA, hiA)
+        if periodic:
+            tau = range_sum(tau, loB, hiB)
+            tau = range_sum(tau, loC, hiC)
+        return None, tau
+
+    _, taus = jax.lax.scan(block_fn, None, jnp.arange(n_blocks, dtype=jnp.int32))
+    return taus.reshape(n_blocks * B, n_bins)
+
+
+def absorption_spectra_binned(
+    pos,
+    h,
+    values,
+    velocities_los,
+    temperatures,
+    ray_x,
+    ray_y,
+    *,
+    cosmology=None,
+    box_size: Optional[float] = None,
+    atomic_weight: float = 1.008,
+    n_bins: int = 512,
+    kernel: str = "cubic_spline",
+    chunk: int = 1024,
+    ray_block: int = 128,
+    periodic: bool = True,
+) -> tuple[Array, np.ndarray]:
+    """Cell-binned per-ray velocity spectra — :func:`absorption_spectra`
+    semantics at O(R * N_local) (the dense engine's O(R * N * bins) is
+    intractable at the 1e4-ray x 1e7-particle config-4 scale). Same physics,
+    tested to 1e-5 against the dense engine.
+    """
+    pos = np.asarray(pos)
+    h_np = np.asarray(h, np.float64)
+    values = np.asarray(values, np.float32)
+    v_pec = np.asarray(velocities_los, np.float32)
+    temperature = np.asarray(temperatures)
+    if box_size is None and periodic:
+        raise ValueError("periodic spectra need box_size")
+
+    if cosmology is not None:
+        dv_dx = cosmology.hubble_rate() * cosmology.expansion_factor
+    else:
+        dv_dx = 0.0
+    v_eff = (pos[:, 2] * dv_dx + v_pec).astype(np.float32)
+    v_box = float(box_size * dv_dx) if (box_size is not None and dv_dx > 0) else None
+    b_dopp = np.maximum(
+        doppler_parameter_kms(temperature, atomic_weight), 1e-3
+    ).astype(np.float32)
+    if v_box is not None:
+        v_edges = np.linspace(0.0, v_box, n_bins + 1)
+    else:
+        lo, hi = float(v_eff.min() - 3 * b_dopp.max()), float(v_eff.max() + 3 * b_dopp.max())
+        v_edges = np.linspace(lo, hi, n_bins + 1)
+    v_centres = 0.5 * (v_edges[:-1] + v_edges[1:]).astype(np.float32)
+    lut = jnp.asarray(integrated_kernel_table(kernel), jnp.float32)
+    kspec = get_kernel(kernel)
+
+    x = np.asarray(pos[:, 0], np.float64)
+    y = np.asarray(pos[:, 1], np.float64)
+    n_rays = np.asarray(ray_x).shape[0]
+    rays = np.stack([np.asarray(ray_x, np.float64), np.asarray(ray_y, np.float64)])
+
+    s = kspec.support_factor * h_np
+    if periodic:
+        x0 = y0 = 0.0
+        Lx = Ly = float(box_size)
+        x = np.mod(x, Lx)
+        y = np.mod(y, Ly)
+        rays = np.mod(rays, Lx)
+    else:
+        pad_w = float(s.max()) if s.size else 1.0
+        x0 = min(x.min() if x.size else 0.0, rays[0].min()) - pad_w
+        y0 = min(y.min() if y.size else 0.0, rays[1].min()) - pad_w
+        Lx = max(x.max() if x.size else 1.0, rays[0].max()) + pad_w - x0
+        Ly = max(y.max() if y.size else 1.0, rays[1].max()) + pad_w - y0
+
+    s_max = float(s.max()) if s.size else 1.0
+    from .sightlines import _MAX_BIN_LEVELS
+
+    level = np.zeros(x.shape[0], np.int64)
+    if s.size:
+        with np.errstate(divide="ignore"):
+            level = np.floor(np.log2(s_max / np.maximum(s, 1e-30))).astype(np.int64)
+        level = np.clip(level, 0, _MAX_BIN_LEVELS - 1)
+
+    tau_total = jnp.zeros((n_rays, n_bins), jnp.float32)
+    for li in range(_MAX_BIN_LEVELS):
+        sel = np.nonzero(level == li)[0]
+        if sel.size == 0:
+            continue
+        cell = s_max / (1 << li)
+        ncx = min(max(1, int(Lx / cell)), 4096)
+        ncy = min(max(1, int(Ly / cell)), 4096)
+        cx = np.clip(((x[sel] - x0) / (Lx / ncx)).astype(np.int64), 0, ncx - 1)
+        cy = np.clip(((y[sel] - y0) / (Ly / ncy)).astype(np.int64), 0, ncy - 1)
+        cid = cy * ncx + cx
+        order = np.argsort(cid, kind="stable")
+        sel = sel[order]
+        cid = cid[order]
+        n = sel.size
+        n_pad = max(chunk, ((n + chunk - 1) // chunk) * chunk)
+
+        def padded(a, fill=0.0):
+            out = np.full(n_pad, fill, np.float32)
+            out[:n] = a[sel]
+            return jnp.asarray(out)
+
+        row_start = np.searchsorted(cid, np.arange(ncy, dtype=np.int64) * ncx).astype(np.int32)
+        row_end = np.searchsorted(cid, (np.arange(ncy, dtype=np.int64) + 1) * ncx).astype(np.int32)
+
+        rcx = np.clip(((rays[0] - x0) / (Lx / ncx)).astype(np.int64), 0, ncx - 1)
+        rcy = np.clip(((rays[1] - y0) / (Ly / ncy)).astype(np.int64), 0, ncy - 1)
+        rorder = np.argsort(rcy * ncx + rcx, kind="stable")
+        Bq = ray_block
+        r_pad = max(Bq, ((n_rays + Bq - 1) // Bq) * Bq)
+        rxp = np.full(r_pad, rays[0][rorder[-1]], np.float32)
+        ryp = np.full(r_pad, rays[1][rorder[-1]], np.float32)
+        rxp[:n_rays] = rays[0][rorder]
+        ryp[:n_rays] = rays[1][rorder]
+        rrow = np.full(r_pad, rcy[rorder[-1]], np.int32)
+        rrow[:n_rays] = rcy[rorder].astype(np.int32)
+
+        part = _binned_spectra_impl(
+            padded(x), padded(y), padded(h_np, fill=1.0), padded(values),
+            padded(v_eff), padded(b_dopp, fill=1.0),
+            jnp.asarray(row_start), jnp.asarray(row_end),
+            jnp.asarray(rxp), jnp.asarray(ryp), jnp.asarray(rrow),
+            jnp.asarray(v_centres), lut, jnp.asarray([Lx, Ly], jnp.float32),
+            kernel_name=kernel, chunk=chunk, n_blocks=r_pad // Bq, B=Bq,
+            ncx=ncx, ncy=ncy, periodic=periodic, n_pad=n_pad, n_bins=n_bins,
+            periodic_velocity=v_box,
+        )
+        inv = np.empty(n_rays, np.int64)
+        inv[rorder] = np.arange(n_rays)
+        tau_total = tau_total + jnp.asarray(np.asarray(part)[:n_rays][inv])
+
+    return tau_total, v_centres

@@ -186,17 +186,22 @@ def project_oracle_fast(
             inside = r2 < (support_factor * hs) ** 2
             w = np.where(inside, w_fn(np.sqrt(r2), hs), 0.0)
             w *= values[sel][:, None, None]
+            # np.bincount is ~10x np.add.at for f64 accumulation
             if periodic:
                 fy = np.mod(jy, ny)[:, :, None]
                 fx = np.mod(jx, nx)[:, None, :]
                 flat = (fy * nx + fx).ravel()
-                np.add.at(image.reshape(-1), flat, w.ravel())
+                image += np.bincount(
+                    flat, weights=w.ravel(), minlength=ny * nx
+                ).reshape(ny, nx)
             else:
                 iny = (jy >= 0) & (jy < ny)
                 inx = (jx >= 0) & (jx < nx)
-                valid = iny[:, :, None] & inx[:, None, :]
+                valid = (iny[:, :, None] & inx[:, None, :]).ravel()
                 fy = np.clip(jy, 0, ny - 1)[:, :, None]
                 fx = np.clip(jx, 0, nx - 1)[:, None, :]
                 flat = (fy * nx + fx).ravel()
-                np.add.at(image.reshape(-1), flat[valid.ravel()], w.ravel()[valid.ravel()])
+                image += np.bincount(
+                    flat[valid], weights=w.ravel()[valid], minlength=ny * nx
+                ).reshape(ny, nx)
     return image

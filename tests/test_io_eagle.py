@@ -301,3 +301,26 @@ def test_cgs_conversion_upcasts_f32(synthetic_snapshot_dir=None):
         out = snap.make_cgs_data("g", raw, h_exp=-1.0, cgs_conversion_factor=1.989e43)
         assert np.isfinite(out.value).all()
         assert out.value.dtype == np.float64
+
+
+def test_output_dtype_f32_fast_path():
+    # opt-in f32 field output: same values as the f64 contract (to f32
+    # precision), no grams materialised en route
+    from astro_sph_tools_tpu.io.synthetic import SyntheticSnapshotSpec, write_snapshot
+    from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+    from astro_sph_tools_tpu.data_structures import ParticleType
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spec = SyntheticSnapshotSpec(n_gas=256, n_dm=32, n_star=8, n_bh=2, n_files=2)
+        path, _ = write_snapshot(d, spec)
+        snap64 = SnapshotEAGLE(path)
+        snap32 = SnapshotEAGLE(path)
+        snap32.output_dtype = np.float32
+        for getter in ("get_positions", "get_masses", "get_smoothing_lengths"):
+            a = getattr(snap64, getter)(ParticleType.gas)
+            b = getattr(snap32, getter)(ParticleType.gas)
+            assert b.value.dtype == np.float32
+            np.testing.assert_allclose(
+                b.value, a.value.astype(np.float32), rtol=3e-7
+            )

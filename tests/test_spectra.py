@@ -109,3 +109,40 @@ class TestAbsorptionSpectra:
         assert cold.max() > hot.max() * 2  # 10x temperature ratio -> ~3.2x b
         # same integrated column
         assert cold.sum() == pytest.approx(hot.sum(), rel=1e-2)
+
+
+class TestBinnedSpectra:
+    """Cell-binned spectra engine vs the dense engine (identical physics)."""
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    def test_matches_dense(self, rng, periodic):
+        from astro_sph_tools_tpu.data_structures.cosmology import Cosmology
+        from astro_sph_tools_tpu.ops.spectra import (
+            absorption_spectra,
+            absorption_spectra_binned,
+        )
+
+        n, R = 2500, 120
+        box = 10.0
+        pos = rng.uniform(0, box, (n, 3))
+        h = 10.0 ** rng.uniform(-1.3, -0.3, n)
+        m = rng.uniform(0.5, 2.0, n)
+        vlos = rng.normal(0, 80, n)
+        T = 10.0 ** rng.uniform(3.5, 6.0, n)
+        rx = rng.uniform(0, box, R)
+        ry = rng.uniform(0, box, R)
+        rx[:20] = rng.uniform(0, 0.02, 20)  # periodic edge rays
+        kwargs = dict(n_bins=96)
+        if periodic:
+            cos = Cosmology(
+                hubble_param=0.6777, omega_baryon=0.04825, redshift=0.5,
+                expansion_factor=1 / 1.5,
+            )
+            kwargs.update(cosmology=cos, box_size=box, periodic=True)
+        else:
+            kwargs.update(box_size=None, periodic=False)
+        a, vca = absorption_spectra(pos, h, m, vlos, T, rx, ry, **kwargs)
+        b, vcb = absorption_spectra_binned(pos, h, m, vlos, T, rx, ry, **kwargs)
+        np.testing.assert_allclose(vca, vcb)
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
