@@ -49,8 +49,12 @@ def main() -> None:
     rng = np.random.default_rng(99)
 
     cases = []
-    # per-level cases: n scaled down as footprints grow (oracle is O(N*K^2))
-    for cfg, log2n in zip(PALLAS_LEVELS, (20, 19, 17, 15)):
+    # per-level cases at production-class pixel density (~8-30 contributions
+    # per pixel): at ~1 particle/pixel the rel-to-global-max metric is
+    # dominated by single boundary-pixel f32 rounding, not engine precision
+    # (f32 and bf16x2 measured identical there). n scales down as footprints
+    # grow (the oracle is O(N * K^2)).
+    for cfg, log2n in zip(PALLAS_LEVELS, (23, 21, 18, 15)):
         n = 1 << log2n
         x = rng.uniform(0, box, n)
         y = rng.uniform(0, box, n)
@@ -80,7 +84,7 @@ def main() -> None:
             print(cases[-1], flush=True)
 
     # adaptive-h auto path (device-resident level partition) end to end
-    n = 1 << 19
+    n = 1 << 22
     x = rng.uniform(0, box, n)
     y = rng.uniform(0, box, n)
     h = np.clip(np.exp(rng.normal(np.log(0.9 * px), 0.55, n)), 0.25 * px, 24 * px)
