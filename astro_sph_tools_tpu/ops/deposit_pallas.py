@@ -155,8 +155,14 @@ def _deposit_kernel(
     @pl.when(work == 1)
     def _work():
         data = chunk_ref[0]  # (8, C)
-        u = data[0:1, :]  # (1, C) pixel-space x
-        v = data[1:2, :]
+        # TILE-LOCAL pixel coordinates (relative to the particle's own tile's
+        # extended origin, magnitude <= TY/tx + K): storing GLOBAL pixel
+        # coordinates cost ~6e-5 px of f32 quantization at 1024^2 — enough to
+        # bust the 1e-5 fidelity budget for sub-pixel smoothing lengths.
+        # Every particle this step contributes belongs to tile t (the valid
+        # mask below), so its local frame is this tile's frame.
+        u_loc = data[0:1, :]  # (1, C)
+        v_loc = data[1:2, :]
         h = data[2:3, :]  # world-unit smoothing length
 
         # validity: this chunk window may over-read neighbours' particles;
@@ -165,12 +171,6 @@ def _deposit_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         gidx = base + lane
         valid = (gidx >= pstart_ref[t]) & (gidx < pstart_ref[t] + pcount_ref[t])
-
-        # local pixel coordinates relative to the extended tile origin
-        ty_i = t // n_tiles_x
-        tx_i = t - ty_i * n_tiles_x
-        u_loc = u - (tx_i * tx - M).astype(jnp.float32)
-        v_loc = v - (ty_i * TY - M).astype(jnp.float32)
 
         # column window start (extended-tile coords), (1, C)
         col0 = jnp.floor(u_loc - offset + 0.5).astype(jnp.int32) - (K // 2)
@@ -379,6 +379,34 @@ def _pack_channels(sorted_ops, n_fields: int, n_rows: int, C: int):
     return jnp.stack(channels, axis=1)  # (n_rows, 8, C)
 
 
+def _tile_local_coords(x, y, geom: _LevelGeometry, spec_shape, spec_extent, periodic):
+    """(tile id, tile-local pixel coords) for one level's geometry.
+
+    Local coordinates are relative to the particle's own tile's EXTENDED
+    origin (magnitude <= tx/TY + K) — global pixel coordinates at 1024^2
+    carry ~6e-5 px of f32 quantization, which busts the 1e-5 budget for
+    sub-pixel footprints. Works in whatever dtype x/y arrive in (pass f64
+    NumPy from the host for full fidelity; see deposit wrappers).
+    """
+    cfg, tx = geom.cfg, geom.tx
+    ny, nx = spec_shape
+    x0, x1, y0, y1 = spec_extent
+    xp = np if isinstance(x, np.ndarray) else jnp
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    u = (x - x0) / psx
+    v = (y - y0) / psy
+    if periodic:
+        u = xp.mod(u, nx)
+        v = xp.mod(v, ny)
+    tx_i = xp.clip((u / tx).astype(xp.int32), 0, geom.n_tiles_x - 1)
+    ty_i = xp.clip((v / cfg.TY).astype(xp.int32), 0, geom.n_tiles_y - 1)
+    tile_id = (ty_i * geom.n_tiles_x + tx_i).astype(xp.int32)
+    u_loc = (u - (tx_i * tx - cfg.M)).astype(xp.float32)
+    v_loc = (v - (ty_i * cfg.TY - cfg.M)).astype(xp.float32)
+    return tile_id, u_loc, v_loc
+
+
 def _deposit_2d_pallas_traced(
     x, y, h, values,  # (N,), (N,), (N,), (F, N) — N a multiple of _CHUNK
     *,
@@ -389,6 +417,7 @@ def _deposit_2d_pallas_traced(
     support_factor: float,
     precision: str,
     interpret: bool,
+    local_coords=None,  # optional precomputed (tile_id, u_loc, v_loc)
 ) -> Array:
     """Fully traceable single-level fused deposit: sort -> schedule -> pallas
     -> overlap-add, with no host sync. Safe under jit / shard_map."""
@@ -399,24 +428,21 @@ def _deposit_2d_pallas_traced(
     psx = (x1 - x0) / nx
     psy = (y1 - y0) / ny
 
-    u = (x - x0) / psx
-    v = (y - y0) / psy
-    if periodic:
-        u = jnp.mod(u, nx)
-        v = jnp.mod(v, ny)
-
-    tx_i = jnp.clip((u / tx).astype(jnp.int32), 0, geom.n_tiles_x - 1)
-    ty_i = jnp.clip((v / cfg.TY).astype(jnp.int32), 0, geom.n_tiles_y - 1)
-    tile_id = (ty_i * geom.n_tiles_x + tx_i).astype(jnp.int32)
+    if local_coords is None:
+        tile_id, u_loc, v_loc = _tile_local_coords(
+            x, y, geom, spec_shape, spec_extent, periodic
+        )
+    else:
+        tile_id, u_loc, v_loc = local_coords
 
     # NOTE: payloads ride the sort as extra operands. A (key, idx) sort +
     # payload gathers compiles ~20x faster but runs ~6x SLOWER on TPU
     # (random gathers at 33M indices lose badly to the sort network's
     # sequential passes — measured 13 vs 80 M deposits/s).
-    operands = [tile_id, u, v, h] + [values[f] for f in range(n_fields)]
+    operands = [tile_id, u_loc, v_loc, h] + [values[f] for f in range(n_fields)]
     sorted_ops = jax.lax.sort(operands, num_keys=1)
 
-    n = x.shape[0]
+    n = h.shape[0]
     n_rows = n // C
     n_tiles = geom.n_tiles
     pstart, pcount, block_start, nchunks = _tile_ranges(sorted_ops[0], n_tiles, C)
@@ -518,6 +544,33 @@ def _pad_particles_pow2(x, y, h, values, spec: MapSpec, pad_h: float = 1.0):
     return x, y, h, values
 
 
+def _is_host_f64(x) -> bool:
+    return isinstance(x, np.ndarray) and x.dtype == np.float64
+
+
+def _pad_host_f64(x, y, spec: MapSpec) -> tuple[np.ndarray, np.ndarray]:
+    """pow2-pad f64 host coordinates (pads park at the extent max)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = x.shape[0]
+    n_bucket = max(_CHUNK, _next_pow2(n))
+    if n_bucket != n:
+        pad = n_bucket - n
+        x = np.pad(x, (0, pad), constant_values=float(spec.extent[1]))
+        y = np.pad(y, (0, pad), constant_values=float(spec.extent[3]))
+    return x, y
+
+
+def _pad_hv(h, values, n_bucket: int, pad_h: float = 1.0):
+    """pow2-pad the smoothing-length and value channels (device arrays)."""
+    h = jnp.asarray(h, jnp.float32)
+    n = h.shape[0]
+    if n_bucket != n:
+        h = jnp.pad(h, (0, n_bucket - n), constant_values=pad_h)
+        values = jnp.pad(values, ((0, 0), (0, n_bucket - n)))
+    return h, values
+
+
 def deposit_2d_pallas(
     x, y, h, values, spec: MapSpec,
     *,
@@ -528,6 +581,11 @@ def deposit_2d_pallas(
 ) -> Array:
     """Single-level fused Pallas deposit.
 
+    f64 NumPy coordinates take the quality path (tile-local pixel
+    coordinates computed in f64 on the host, engine error ≤1e-5 class at
+    any map size); f32/device arrays take the throughput path (device
+    conversion, ~1e-4·(px/h)-class conversion noise at 1024^2).
+
     Every particle footprint must fit the level's K-window
     (``support_factor * h / pixel <= level.max_s_pix``); mixed-footprint
     callers should use :func:`deposit_2d_auto`. Returns (ny, nx) or (F, ny, nx).
@@ -537,15 +595,33 @@ def deposit_2d_pallas(
         interpret = jax.default_backend() != "tpu"
     kspec = get_kernel(kernel)
     geom = _level_geometry(cfg, spec)
+    extent = tuple(float(e) for e in spec.extent)
+
+    values, single = _as_field_matrix(values)
+    if _is_host_f64(x):
+        # quality path: tile-local coordinates computed in f64 on the host
+        # before any f32 cast — the global->local conversion in f32 carries
+        # ~6e-5 px of noise at 1024^2, busting the 1e-5 budget for
+        # sub-pixel footprints
+        xh, yh = _pad_host_f64(x, y, spec)
+        tile_id, u_loc, v_loc = _tile_local_coords(
+            xh, yh, geom, spec.shape, extent, spec.periodic_wrap
+        )
+        h, values = _pad_hv(h, values, xh.shape[0])
+        img = _cached_level_pipeline_local(
+            geom, spec.shape, extent,
+            spec.periodic_wrap, spec.sample_offset, values.shape[0],
+            kernel, kspec.support_factor, precision, interpret,
+        )(jnp.asarray(tile_id), jnp.asarray(u_loc), jnp.asarray(v_loc), h, values)
+        return img[0] if single else img
 
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     h = jnp.asarray(h, jnp.float32)
-    values, single = _as_field_matrix(values)
     x, y, h, values = _pad_particles_pow2(x, y, h, values, spec)
 
     img = _cached_level_pipeline(
-        geom, spec.shape, tuple(float(e) for e in spec.extent),
+        geom, spec.shape, extent,
         spec.periodic_wrap, spec.sample_offset, values.shape[0],
         kernel, kspec.support_factor, precision, interpret,
     )(x, y, h, values)
@@ -564,6 +640,26 @@ def _cached_level_pipeline(
         offset=offset, n_fields=n_fields, kernel=kernel,
         support_factor=support_factor, precision=precision, interpret=interpret,
     )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=512)
+def _cached_level_pipeline_local(
+    geom, shape, extent, periodic, offset, n_fields,
+    kernel, support_factor, precision, interpret,
+):
+    """As :func:`_cached_level_pipeline`, but taking precomputed tile-local
+    coordinates (the host-f64 quality path)."""
+
+    def fn(tile_id, u_loc, v_loc, h, values):
+        return _deposit_2d_pallas_traced(
+            None, None, h, values,
+            geom=geom, spec_shape=shape, spec_extent=extent, periodic=periodic,
+            offset=offset, n_fields=n_fields, kernel=kernel,
+            support_factor=support_factor, precision=precision,
+            interpret=interpret, local_coords=(tile_id, u_loc, v_loc),
+        )
+
     return jax.jit(fn)
 
 
@@ -637,15 +733,12 @@ def tile_particles(
     per-level counts (a handful of ints) sizing the compiled programs.
     """
     kspec = get_kernel(kernel)
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    h = jnp.asarray(h, jnp.float32)
     values, _ = _as_field_matrix(values)
-    n_valid = int(x.shape[0])
+    n_valid = int(np.asarray(h).shape[0]) if isinstance(h, np.ndarray) else int(h.shape[0])
+    host_f64 = _is_host_f64(x)
     # sub-pixel pad h: padding must land in the smallest level's last tile
     # (weight 0), NOT inflate the oversize fallback
     pad_h = 0.1 * min(spec.pixel_size)
-    x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
 
     # geometry per level; a level that cannot tile this (small/periodic) map
     # routes its particles to the oversize fallback
@@ -660,15 +753,50 @@ def tile_particles(
         (g.cfg.max_s_pix if g is not None else -1.0) for g in geoms
     )
     n_fields = values.shape[0]
-
-    sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort(
-        spec.shape, tuple(float(e) for e in spec.extent), spec.periodic_wrap,
-        bounds, tuple(g.n_tiles_x if g else 1 for g in geoms),
+    geom_tuples = (
+        tuple(g.n_tiles_x if g else 1 for g in geoms),
         tuple(g.cfg.TY if g else 1 for g in geoms),
         tuple(g.tx if g else 1 for g in geoms),
         tuple(g.n_tiles_y if g else 1 for g in geoms),
-        kspec.support_factor, n_fields,
-    )(x, y, h, values)
+        tuple(g.cfg.M if g else 0 for g in geoms),
+    )
+    extent = tuple(float(e) for e in spec.extent)
+
+    if host_f64:
+        # quality path: level/tile/local assignment in f64 on the host (see
+        # deposit_2d_pallas — global->local in f32 costs ~6e-5 px at 1024^2)
+        xh, yh = _pad_host_f64(x, y, spec)
+        h, values = _pad_hv(h, values, xh.shape[0], pad_h=pad_h)
+        ny, nx = spec.shape
+        x0, x1, y0, y1 = extent
+        psx = (x1 - x0) / nx
+        psy = (y1 - y0) / ny
+        u = (xh - x0) / psx
+        v = (yh - y0) / psy
+        if spec.periodic_wrap:
+            u = np.mod(u, nx)
+            v = np.mod(v, ny)
+        s_pix = kspec.support_factor * np.asarray(h, np.float64) / min(psx, psy)
+        level, tile, u_loc, v_loc = _multi_level_assign(
+            u, v, s_pix, bounds, *geom_tuples, np
+        )
+        key = (level * _LEVEL_STRIDE + tile).astype(np.int32)
+        sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort_local(
+            len(bounds), n_fields
+        )(
+            jnp.asarray(key), jnp.asarray(u_loc, jnp.float32),
+            jnp.asarray(v_loc, jnp.float32), h, values,
+        )
+    else:
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+        h = jnp.asarray(h, jnp.float32)
+        x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
+        sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort(
+            spec.shape, extent, spec.periodic_wrap,
+            bounds, *geom_tuples,
+            kspec.support_factor, n_fields,
+        )(x, y, h, values)
 
     counts_host = np.asarray(counts)  # host sync: len(levels)+1 ints
     level_meta = []
@@ -683,16 +811,67 @@ def tile_particles(
         spec=spec, kernel=kernel, geoms=tuple(level_meta),
         sorted_u=su, sorted_v=sv, sorted_h=sh, sorted_values=s_values,
         sorted_tile=sorted_key, perm=perm,
-        n_sorted=int(x.shape[0]),
+        n_sorted=int(h.shape[0]),
         n_oversize=int(counts_host[len(geoms)]),
         n_valid=n_valid,
+    )
+
+
+def _multi_level_assign(u, v, s_pix, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t, m_t, xp):
+    """(level, tile id, tile-LOCAL coords) per particle, each under its own
+    level's geometry. Oversize/disabled-level particles keep GLOBAL pixel
+    coordinates (tile 0) so the dense fallback can recover world positions.
+    Works in numpy (host f64 quality path) or jnp (device f32 path)."""
+    n_levels = len(bounds)
+    level = xp.full(u.shape, n_levels, xp.int32)
+    for li in range(n_levels - 1, -1, -1):
+        if bounds[li] >= 0:
+            level = xp.where(s_pix <= bounds[li], xp.int32(li), level)
+    tile = xp.zeros(u.shape, xp.int32)
+    u_loc = u
+    v_loc = v
+    for li in range(n_levels):
+        if bounds[li] < 0:
+            continue
+        tx_i = xp.clip((u / tx_t[li]).astype(xp.int32), 0, n_tiles_x_t[li] - 1)
+        ty_i = xp.clip((v / ty_t[li]).astype(xp.int32), 0, n_tiles_y_t[li] - 1)
+        sel = level == li
+        tile = xp.where(sel, ty_i * n_tiles_x_t[li] + tx_i, tile)
+        u_loc = xp.where(sel, u - (tx_i * tx_t[li] - m_t[li]), u_loc)
+        v_loc = xp.where(sel, v - (ty_i * ty_t[li] - m_t[li]), v_loc)
+    return level, tile, u_loc, v_loc
+
+
+def _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields):
+    """Composite-key sort + per-level counts + 2N slack padding."""
+    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    # payloads ride the sort (see note in _deposit_2d_pallas_traced)
+    sorted_key, su, sv, sh, perm, *s_vals = jax.lax.sort(
+        [key, u_loc, v_loc, h, idx] + [values[f] for f in range(n_fields)],
+        num_keys=1,
+    )
+    s_values = jnp.stack(s_vals, axis=0)
+    lv = jnp.arange(n_levels + 1, dtype=jnp.int32) * _LEVEL_STRIDE
+    starts = jnp.searchsorted(sorted_key, lv).astype(jnp.int32)
+    ends = jnp.searchsorted(
+        sorted_key, lv + (_LEVEL_STRIDE - 1), side="right"
+    ).astype(jnp.int32)
+    counts = ends - starts
+    s_tile = sorted_key - (sorted_key // _LEVEL_STRIDE) * _LEVEL_STRIDE
+    # double-length slack so every level segment (offset lo, pow2 bucket,
+    # lo + bucket <= 2N) is a dynamic_slice, never a gather
+    n = key.shape[0]
+    pad1 = lambda a: jnp.pad(a, (0, n))
+    return (
+        pad1(s_tile), pad1(su), pad1(sv), pad1(sh),
+        jnp.pad(s_values, ((0, 0), (0, n))), pad1(perm), counts,
     )
 
 
 @lru_cache(maxsize=256)
 def _cached_tile_sort(
     shape, extent, periodic, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t,
-    support_factor, n_fields,
+    m_t, support_factor, n_fields,
 ):
     n_levels = len(bounds)
 
@@ -707,47 +886,24 @@ def _cached_tile_sort(
         if periodic:
             u = jnp.mod(u, nx)
             v = jnp.mod(v, ny)
-
-        px = min(psx, psy)
-        s_pix = support_factor * h / px
-        # level = first level whose max_s_pix >= s_pix (disabled levels have
-        # bound -1 and never match); unmatched -> oversize level n_levels
-        level = jnp.full(x.shape, n_levels, jnp.int32)
-        for li in range(n_levels - 1, -1, -1):
-            if bounds[li] >= 0:
-                level = jnp.where(s_pix <= bounds[li], jnp.int32(li), level)
-
-        # tile id under the particle's own level geometry
-        tile = jnp.zeros(x.shape, jnp.int32)
-        for li in range(n_levels):
-            tx_i = jnp.clip((u / tx_t[li]).astype(jnp.int32), 0, n_tiles_x_t[li] - 1)
-            ty_i = jnp.clip((v / ty_t[li]).astype(jnp.int32), 0, n_tiles_y_t[li] - 1)
-            tid = ty_i * n_tiles_x_t[li] + tx_i
-            tile = jnp.where(level == li, tid, tile)
-
+        s_pix = support_factor * h / min(psx, psy)
+        level, tile, u_loc, v_loc = _multi_level_assign(
+            u, v, s_pix, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t, m_t, jnp
+        )
         key = level * _LEVEL_STRIDE + tile
-        idx = jnp.arange(x.shape[0], dtype=jnp.int32)
-        # payloads ride the sort (see note in _deposit_2d_pallas_traced)
-        sorted_key, su, sv, sh, perm, *s_vals = jax.lax.sort(
-            [key, u, v, h, idx] + [values[f] for f in range(n_fields)],
-            num_keys=1,
-        )
-        s_values = jnp.stack(s_vals, axis=0)
-        lv = jnp.arange(n_levels + 1, dtype=jnp.int32) * _LEVEL_STRIDE
-        starts = jnp.searchsorted(sorted_key, lv).astype(jnp.int32)
-        ends = jnp.searchsorted(
-            sorted_key, lv + (_LEVEL_STRIDE - 1), side="right"
-        ).astype(jnp.int32)
-        counts = ends - starts
-        s_tile = sorted_key - (sorted_key // _LEVEL_STRIDE) * _LEVEL_STRIDE
-        # double-length slack so every level segment (offset lo, pow2 bucket,
-        # lo + bucket <= 2N) is a dynamic_slice, never a gather
-        n = x.shape[0]
-        pad1 = lambda a: jnp.pad(a, (0, n))
-        return (
-            pad1(s_tile), pad1(su), pad1(sv), pad1(sh),
-            jnp.pad(s_values, ((0, 0), (0, n))), pad1(perm), counts,
-        )
+        return _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields)
+
+    return run
+
+
+@lru_cache(maxsize=64)
+def _cached_tile_sort_local(n_levels, n_fields):
+    """Sort tail for host-precomputed (key, local coords) — the f64 quality
+    path computes the level/tile/local assignment on the host."""
+
+    @jax.jit
+    def run(key, u_loc, v_loc, h, values):
+        return _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields)
 
     return run
 

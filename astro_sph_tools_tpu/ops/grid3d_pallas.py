@@ -126,23 +126,18 @@ def _deposit3d_kernel(
     @pl.when(work == 1)
     def _work():
         data = chunk_ref[0]  # (8, C)
-        u = data[0:1, :]  # voxel-space x
-        v = data[1:2, :]  # voxel-space y
-        w_ = data[2:3, :]  # voxel-space z
+        # TILE-LOCAL voxel coordinates (see deposit_pallas: storing global
+        # coordinates costs ~f32-ulp-of-grid-size of quantization). Every
+        # contributing particle this step belongs to tile t (valid mask).
+        u_loc = data[0:1, :]
+        v_loc = data[1:2, :]
+        w_loc = data[2:3, :]
         h = data[3:4, :]  # world-unit smoothing length
 
         base = (block_start_ref[t] + (s - tile_off_ref[t])) * C
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         gidx = base + lane
         valid = (gidx >= pstart_ref[t]) & (gidx < pstart_ref[t] + pcount_ref[t])
-
-        # tile coordinates: t = (tz * nty + ty) * ntx + txi
-        txi = t % n_tiles_x
-        tyi = (t // n_tiles_x) % n_tiles_y
-        tzi = t // (n_tiles_x * n_tiles_y)
-        u_loc = u - (txi * tx - M).astype(jnp.float32)
-        v_loc = v - (tyi * TY - M).astype(jnp.float32)
-        w_loc = w_ - (tzi * TZ - M).astype(jnp.float32)
 
         col0 = jnp.floor(u_loc - offset + 0.5).astype(jnp.int32) - (K // 2)
 
@@ -334,8 +329,12 @@ def _deposit_3d_pallas_traced(
     tyi = jnp.clip((v / cfg.TY).astype(jnp.int32), 0, geom.nty - 1)
     tzi = jnp.clip((w_ / cfg.TZ).astype(jnp.int32), 0, geom.ntz - 1)
     tile_id = ((tzi * geom.nty + tyi) * geom.ntx + txi).astype(jnp.int32)
+    # tile-local coordinates ride the sort (see deposit_pallas)
+    u_loc = u - (txi * tx - cfg.M)
+    v_loc = v - (tyi * cfg.TY - cfg.M)
+    w_loc = w_ - (tzi * cfg.TZ - cfg.M)
 
-    operands = [tile_id, u, v, w_, h] + [values[f] for f in range(n_fields)]
+    operands = [tile_id, u_loc, v_loc, w_loc, h] + [values[f] for f in range(n_fields)]
     sorted_ops = jax.lax.sort(operands, num_keys=1)
 
     n = u.shape[0]

@@ -101,13 +101,46 @@ def main() -> None:
     )
     print(cases[-1], flush=True)
 
+    # throughput-mode reference point: f32 device inputs skip the host-f64
+    # local-coordinate path, so the conversion noise (~6e-5 px at 1024^2)
+    # rides along — informational, excluded from the budget flag (the oracle
+    # is compared against the ideal f64 positions the f32 inputs no longer
+    # carry)
+    n = 1 << 21
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = rng.uniform(0.5 * px, 1.45 * px, n)
+    m = rng.uniform(0.5, 2.0, n)
+    exp = project_oracle_fast(x, y, h, m, shape, spec.extent)
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        deposit_2d_pallas(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.asarray(h, jnp.float32), jnp.asarray(m, jnp.float32),
+            spec, precision="bf16x2",
+        )
+    )
+    cases.append(
+        {
+            "case": "K=8 device-f32 inputs (throughput mode, informational)",
+            "precision": "bf16x2",
+            "n_particles": n,
+            "max_rel_err": float(np.abs(got - exp).max() / np.abs(exp).max()),
+            "in_budget_flag": False,
+        }
+    )
+    print(cases[-1], flush=True)
+
     result = {
         "backend": backend,
         "oracle": "tests/oracles.py project_oracle_fast (f64 scatter, validated "
         "to 8e-15 vs the reference-parity per-pixel gather oracle)",
         "budget": 1e-5,
         "all_within_budget": all(
-            c["max_rel_err"] <= 1e-5 for c in cases if c["precision"] != "bf16"
+            c["max_rel_err"] <= 1e-5
+            for c in cases
+            if c["precision"] != "bf16" and c.get("in_budget_flag", True)
         ),
         "cases": cases,
     }
