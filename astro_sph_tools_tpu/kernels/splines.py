@@ -172,3 +172,37 @@ def integrated_kernel_lookup(table: Array, b: Array, h: Array, support_factor: f
     frac = x - i0.astype(x.dtype)
     y = table[i0] * (1.0 - frac) + table[i0 + 1] * frac
     return jnp.where(u < 1.0, y / (h * h), 0.0)
+
+
+# --- gather-free column-kernel evaluation (Pallas-safe) ----------------------
+#
+# LUT interpolation needs a vector gather, which Mosaic (Pallas TPU) does not
+# support inside kernels. For the fused sightline/spectra kernels the shape
+# function y(u) is instead fit ONCE per kernel with a single high-degree
+# Chebyshev series in t = u^2 (even in u, so no sqrt needed) and evaluated by
+# the Clenshaw recurrence — pure FMAs on the VPU, numerically stable in f32
+# (max relative error at degree 44: cubic 1.0e-6, Wendland C2 2.3e-6, all
+# others <=5e-7 vs the quadrature table; inside the 1e-5 budget).
+
+_INTEGRATED_CHEB_CACHE: dict[tuple[str, int], tuple[float, ...]] = {}
+
+
+def integrated_kernel_chebyshev(name: str, degree: int = 44) -> tuple[float, ...]:
+    """Chebyshev coefficients c_k of y(u) in x = 2 u^2 - 1 on [-1, 1]."""
+    key = (name, degree)
+    if key not in _INTEGRATED_CHEB_CACHE:
+        tab = integrated_kernel_table(name, 8192)
+        u = np.linspace(0.0, 1.0, 8192)
+        x = 2.0 * u * u - 1.0
+        c = np.polynomial.chebyshev.chebfit(x, tab, degree)
+        _INTEGRATED_CHEB_CACHE[key] = tuple(float(v) for v in c)
+    return _INTEGRATED_CHEB_CACHE[key]
+
+
+def clenshaw(x: Array, coeffs: tuple[float, ...]) -> Array:
+    """Evaluate a Chebyshev series at x in [-1, 1] (static coefficients)."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for k in range(len(coeffs) - 1, 0, -1):
+        b1, b2 = 2.0 * x * b1 - b2 + coeffs[k], b1
+    return x * b1 - b2 + coeffs[0]

@@ -21,6 +21,7 @@ from .neighbors import (
 )
 from .reorder import ArrayMapping, ArrayReorder, MatchPlan, match_ids
 from .sightlines import column_integrate, column_integrate_binned, los_profiles
+from .sightlines_pallas import column_integrate_pallas
 from .spectra import (
     absorption_spectra,
     absorption_spectra_binned,
@@ -49,6 +50,7 @@ __all__ = [
     "absorption_spectra_binned",
     "column_integrate",
     "column_integrate_binned",
+    "column_integrate_pallas",
     "doppler_parameter_kms",
     "cubic_spline_1d",
     "deposit_2d",

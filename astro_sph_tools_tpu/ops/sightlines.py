@@ -290,9 +290,10 @@ def _binned_columns_impl(
         loA = row_start[lo_r]
         hiA = row_end[hi_r]
         if periodic:
-            covers_all = (r0 == 0) & (r1 == ncy - 1)
-            need_top = (r0 == 0) & ~covers_all  # wrap to last row
-            need_bot = (r1 == ncy - 1) & ~covers_all  # wrap to first row
+            # wrap spans only when the wrapped row is not already inside the
+            # clamped main span (coarse grids: r1 + 1 can reach ncy - 1)
+            need_top = (r0 == 0) & (r1 + 1 < ncy - 1)  # wrap to last row
+            need_bot = (r1 == ncy - 1) & (r0 - 1 > 0)  # wrap to first row
             loB = jnp.where(need_top, row_start[ncy - 1], 0)
             hiB = jnp.where(need_top, row_end[ncy - 1], 0)
             loC = jnp.where(need_bot, row_start[0], 0)

@@ -251,9 +251,10 @@ def _binned_spectra_impl(
         loA = row_start[lo_r]
         hiA = row_end[hi_r]
         if periodic:
-            covers_all = (r0 == 0) & (r1 == ncy - 1)
-            need_top = (r0 == 0) & ~covers_all
-            need_bot = (r1 == ncy - 1) & ~covers_all
+            # wrap spans only when the wrapped row is not already inside the
+            # clamped main span (coarse grids: r1 + 1 can reach ncy - 1)
+            need_top = (r0 == 0) & (r1 + 1 < ncy - 1)
+            need_bot = (r1 == ncy - 1) & (r0 - 1 > 0)
             loB = jnp.where(need_top, row_start[ncy - 1], 0)
             hiB = jnp.where(need_top, row_end[ncy - 1], 0)
             loC = jnp.where(need_bot, row_start[0], 0)

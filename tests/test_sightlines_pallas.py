@@ -1,0 +1,87 @@
+"""Fused Pallas sightline engine vs the dense oracle (interpret mode on CPU).
+
+The dense engine (`ops.sightlines.column_integrate`) is the numerics oracle —
+itself pinned against per-ray NumPy sums in test_sightlines.py.
+"""
+
+import numpy as np
+import pytest
+
+from astro_sph_tools_tpu.ops.sightlines import column_integrate, column_integrate_binned
+from astro_sph_tools_tpu.ops.sightlines_pallas import column_integrate_pallas
+
+
+def _data(n=20000, rays=300, box=10.0, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = np.exp(rng.normal(np.log(0.08), 0.7, n)).clip(0.01, 1.5)
+    v = rng.uniform(0.5, 2.0, (n, 3)).astype(np.float32)
+    rx = rng.uniform(0, box, rays)
+    ry = rng.uniform(0, box, rays)
+    return x, y, h, v, rx, ry, box
+
+
+def _rel(a, b):
+    return np.abs(np.asarray(a) - np.asarray(b)).max() / np.abs(np.asarray(b)).max()
+
+
+@pytest.mark.parametrize("projection", ["integrated", "kernel3d"])
+@pytest.mark.parametrize("periodic", [True, False])
+def test_matches_dense(projection, periodic):
+    x, y, h, v, rx, ry, box = _data()
+    pb = box if periodic else None
+    ref = column_integrate(x, y, h, v, rx, ry, projection=projection, periodic_box=pb)
+    got = column_integrate_pallas(
+        x, y, h, v, rx, ry, projection=projection, periodic_box=pb
+    )
+    assert _rel(got, ref) < 3e-6
+
+
+def test_single_field_and_clustered():
+    x, y, h, v, rx, ry, box = _data()
+    rng = np.random.default_rng(3)
+    n = x.shape[0]
+    xc = np.concatenate([rng.normal(5, 0.3, n // 2) % box, x[n // 2 :]])
+    yc = np.concatenate([rng.normal(2, 0.3, n // 2) % box, y[n // 2 :]])
+    ref = column_integrate(xc, yc, h, v[:, 0], rx[:7], ry[:7], periodic_box=box)
+    got = column_integrate_pallas(xc, yc, h, v[:, 0], rx[:7], ry[:7], periodic_box=box)
+    assert got.shape == ref.shape == (7,)
+    assert _rel(got, ref) < 3e-6
+
+
+def test_uniform_h_single_level():
+    x, y, h, v, rx, ry, box = _data(n=8000, rays=100)
+    h2 = np.full_like(h, 0.02)
+    ref = column_integrate(x, y, h2, v, rx, ry, periodic_box=box)
+    got = column_integrate_pallas(x, y, h2, v, rx, ry, periodic_box=box)
+    assert _rel(got, ref) < 3e-6
+
+
+@pytest.mark.parametrize("kernel", ["wendland_c2", "quintic_spline"])
+def test_other_kernels(kernel):
+    x, y, h, v, rx, ry, box = _data(n=8000, rays=100)
+    ref = column_integrate(x, y, h, v, rx, ry, kernel=kernel, periodic_box=box)
+    got = column_integrate_pallas(x, y, h, v, rx, ry, kernel=kernel, periodic_box=box)
+    assert _rel(got, ref) < 3e-6
+
+
+def test_coarse_grid_periodic_wrap_no_double_count():
+    """Large supports force a tiny cell grid (ncy ~ 2-4): the periodic wrap
+    spans must not re-add rows already inside the clamped main span.
+    Regression for the double-count bug found in round 2 (also fixed in the
+    binned engines)."""
+    rng = np.random.default_rng(5)
+    n, box = 3000, 10.0
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = rng.uniform(1.0, 1.6, n)  # supports ~ box/4
+    v = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    rx = rng.uniform(0, box, 64)
+    ry = rng.uniform(0, box, 64)
+    ref = column_integrate(x, y, h, v, rx, ry, periodic_box=box)
+    for got in (
+        column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box),
+        column_integrate_binned(x, y, h, v, rx, ry, periodic_box=box),
+    ):
+        assert _rel(got, ref) < 3e-6
