@@ -27,6 +27,7 @@ from .spectra import (
     absorption_spectra_binned,
     doppler_parameter_kms,
 )
+from .spectra_pallas import absorption_spectra_pallas
 
 from .periodic import (
     calculate_periodic,
@@ -48,6 +49,7 @@ __all__ = [
     "build_cell_list",
     "absorption_spectra",
     "absorption_spectra_binned",
+    "absorption_spectra_pallas",
     "column_integrate",
     "column_integrate_binned",
     "column_integrate_pallas",

@@ -15,7 +15,9 @@ import numpy as np
 
 from ..data_structures.particle_types import ParticleType
 from ..ops.sightlines import column_integrate
+from ..ops.sightlines_pallas import column_integrate_pallas
 from ..ops.spectra import absorption_spectra
+from ..ops.spectra_pallas import absorption_spectra_pallas
 from ..utils.console import print_info, timed_phase
 from .params import Param, ScriptWrapper, comma_separated
 from .render_map import load_snapshot
@@ -32,7 +34,24 @@ PARAMS = (
     Param("spectra", None, "Also synthesise velocity-space spectra.", is_flag=True),
     Param("spectra_bins", None, "Velocity bins for spectra.", int, default=512),
     Param("atomic_weight", None, "Ion mass (amu) for Doppler widths.", float, default=1.008),
+    Param(
+        "engine", None,
+        "Integration engine: auto | pallas | dense (auto = fused Pallas pass "
+        "for large ray x particle workloads, dense sweep otherwise).",
+        str, default="auto",
+    ),
 )
+
+
+def _use_pallas(engine: str, n_pairs: float) -> bool:
+    if engine == "pallas":
+        return True
+    if engine == "dense":
+        return False
+    if engine != "auto":
+        raise SystemExit(f"error: unknown engine {engine!r}")
+    # small sweeps stay on the dense path (no schedule/compile overhead)
+    return n_pairs >= 1e7
 
 
 def main(argv: Optional[list] = None) -> int:
@@ -56,6 +75,7 @@ def run(
     spectra: bool,
     spectra_bins: int,
     atomic_weight: float,
+    engine: str = "auto",
 ) -> int:
     from ..data_structures.particle_types import CoordinateAxes
 
@@ -80,8 +100,13 @@ def run(
         m = snap.get_masses(ParticleType.gas).to_value("Msun")
 
     with timed_phase("column integration"):
+        column_fn = (
+            column_integrate_pallas
+            if _use_pallas(engine, float(len(h)) * len(rx))
+            else column_integrate
+        )
         cols = np.asarray(
-            column_integrate(
+            column_fn(
                 pos[:, i], pos[:, j], h, m, rx, ry,
                 kernel=kernel, projection="integrated", periodic_box=box,
             )
@@ -94,7 +119,15 @@ def run(
             T = snap.get_temperatures(ParticleType.gas).to_value("K")
             # rotate so the LOS axis is z for the spectra engine
             pos_rot = pos[:, [i, j, ax.value]]
-            tau, v_centres = absorption_spectra(
+            spectra_fn = (
+                absorption_spectra_pallas
+                if (
+                    _use_pallas(engine, float(len(h)) * len(rx))
+                    and spectra_bins % 128 == 0
+                )
+                else absorption_spectra
+            )
+            tau, v_centres = spectra_fn(
                 pos_rot, h, m, v[:, ax.value], T, rx, ry,
                 cosmology=snap.cosmology, box_size=box, n_bins=spectra_bins,
                 atomic_weight=atomic_weight, kernel=kernel,
