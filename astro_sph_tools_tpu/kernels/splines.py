@@ -146,8 +146,11 @@ def _integrated_shape_table(spec: KernelSpec, n_table: int, n_quad: int = 256) -
     # map nodes from [-1,1] to [0, z_max]
     z = 0.5 * z_max[:, None] * (nodes[None, :] + 1.0)
     r = np.sqrt(b[:, None] ** 2 + z**2)
-    r_j = jnp.asarray(r)
-    w_vals = np.asarray(spec.w(r_j, jnp.ones_like(r_j)))
+    # escape any ambient jit trace: this quadrature must evaluate eagerly
+    # even when the table is first requested from inside a traced function
+    with jax.ensure_compile_time_eval():
+        r_j = jnp.asarray(r)
+        w_vals = np.asarray(spec.w(r_j, jnp.ones_like(r_j)))
     y = 2.0 * 0.5 * z_max * (w_vals * weights[None, :]).sum(axis=1)
     return y.astype(np.float64)
 

@@ -55,7 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..kernels.splines import get_kernel
+from ..kernels.splines import clenshaw, get_kernel, integrated_kernel_chebyshev
 from .deposit import MapSpec
 
 Array = jax.Array
@@ -136,6 +136,8 @@ def _deposit_kernel(
     psy: float,
     offset: float,
     precision: str,
+    projection: str,
+    cheb: tuple[float, ...],
 ):
     s = pl.program_id(0)
     t = sched_ref[s] & _TILE_MASK
@@ -194,8 +196,18 @@ def _deposit_kernel(
         # Precision.HIGHEST explicitly.
         def k_step(k, contrib):
             dxk = ((col0 + k).astype(jnp.float32) + offset - u_loc) * psx  # (1, C)
-            r = jnp.sqrt(dy2 + dxk * dxk)
-            wk = kernel.w(r, h)  # (R, C); zero outside support by definition
+            r2 = dy2 + dxk * dxk
+            if projection == "integrated":
+                # physically-correct column: line-integrated kernel Y(b, h)
+                # via the gather-free Clenshaw fit (see kernels.splines)
+                sh = support_factor * h
+                tq = r2 / (sh * sh)
+                yv = clenshaw(2.0 * jnp.clip(tq, 0.0, 1.0) - 1.0, cheb)
+                wk = jnp.where(tq < 1.0, yv / (h * h), 0.0)
+            else:
+                # reference convention: 3D kernel at the projected radius
+                # (_pixel_calculations.pyx:32-33)
+                wk = kernel.w(jnp.sqrt(r2), h)  # zero outside support
             wk = jnp.where(valid, wk, 0.0)
             # field-stacked rows: (F*R, C)
             w_rows = jnp.concatenate(
@@ -418,6 +430,7 @@ def _deposit_2d_pallas_traced(
     precision: str,
     interpret: bool,
     local_coords=None,  # optional precomputed (tile_id, u_loc, v_loc)
+    projection: str = "kernel3d",
 ) -> Array:
     """Fully traceable single-level fused deposit: sort -> schedule -> pallas
     -> overlap-add, with no host sync. Safe under jit / shard_map."""
@@ -453,6 +466,7 @@ def _deposit_2d_pallas_traced(
     tiles = _cached_deposit_call(
         cfg, geom.n_tiles_x, geom.n_tiles_y, n_steps, n_rows, n_fields, tx,
         kernel, support_factor, psx, psy, offset, precision, interpret,
+        projection,
     )(sched, block_start, tile_off, pstart, pcount, packed)
 
     return _overlap_add(
@@ -464,6 +478,7 @@ def _deposit_2d_pallas_traced(
 def _cached_deposit_call(
     cfg, n_tiles_x, n_tiles_y, n_steps, n_rows, n_fields, tx,
     kernel, support_factor, psx, psy, offset, precision, interpret,
+    projection="kernel3d",
 ):
     """Build (once per static configuration) the pallas call.
 
@@ -501,6 +516,12 @@ def _cached_deposit_call(
         psy=psy,
         offset=offset,
         precision=precision,
+        projection=projection,
+        cheb=(
+            integrated_kernel_chebyshev(kernel)
+            if projection == "integrated"
+            else ()
+        ),
     )
     return pl.pallas_call(
         kern,
@@ -578,6 +599,7 @@ def deposit_2d_pallas(
     precision: str = "bf16x2",
     level: Optional[PallasDepositConfig] = None,
     interpret: Optional[bool] = None,
+    projection: str = "kernel3d",
 ) -> Array:
     """Single-level fused Pallas deposit.
 
@@ -611,7 +633,7 @@ def deposit_2d_pallas(
         img = _cached_level_pipeline_local(
             geom, spec.shape, extent,
             spec.periodic_wrap, spec.sample_offset, values.shape[0],
-            kernel, kspec.support_factor, precision, interpret,
+            kernel, kspec.support_factor, precision, interpret, projection,
         )(jnp.asarray(tile_id), jnp.asarray(u_loc), jnp.asarray(v_loc), h, values)
         return img[0] if single else img
 
@@ -623,7 +645,7 @@ def deposit_2d_pallas(
     img = _cached_level_pipeline(
         geom, spec.shape, extent,
         spec.periodic_wrap, spec.sample_offset, values.shape[0],
-        kernel, kspec.support_factor, precision, interpret,
+        kernel, kspec.support_factor, precision, interpret, projection,
     )(x, y, h, values)
     return img[0] if single else img
 
@@ -631,7 +653,7 @@ def deposit_2d_pallas(
 @lru_cache(maxsize=512)
 def _cached_level_pipeline(
     geom, shape, extent, periodic, offset, n_fields,
-    kernel, support_factor, precision, interpret,
+    kernel, support_factor, precision, interpret, projection="kernel3d",
 ):
     """One jitted program per static config: sort + schedule + pallas + add."""
     fn = partial(
@@ -639,6 +661,7 @@ def _cached_level_pipeline(
         geom=geom, spec_shape=shape, spec_extent=extent, periodic=periodic,
         offset=offset, n_fields=n_fields, kernel=kernel,
         support_factor=support_factor, precision=precision, interpret=interpret,
+        projection=projection,
     )
     return jax.jit(fn)
 
@@ -646,7 +669,7 @@ def _cached_level_pipeline(
 @lru_cache(maxsize=512)
 def _cached_level_pipeline_local(
     geom, shape, extent, periodic, offset, n_fields,
-    kernel, support_factor, precision, interpret,
+    kernel, support_factor, precision, interpret, projection="kernel3d",
 ):
     """As :func:`_cached_level_pipeline`, but taking precomputed tile-local
     coordinates (the host-f64 quality path)."""
@@ -658,6 +681,7 @@ def _cached_level_pipeline_local(
             offset=offset, n_fields=n_fields, kernel=kernel,
             support_factor=support_factor, precision=precision,
             interpret=interpret, local_coords=(tile_id, u_loc, v_loc),
+            projection=projection,
         )
 
     return jax.jit(fn)
@@ -766,21 +790,41 @@ def tile_particles(
         # quality path: level/tile/local assignment in f64 on the host (see
         # deposit_2d_pallas — global->local in f32 costs ~6e-5 px at 1024^2)
         xh, yh = _pad_host_f64(x, y, spec)
+        h_host = np.asarray(h, np.float32)
+        if xh.shape[0] != h_host.shape[0]:
+            h_host = np.pad(
+                h_host, (0, xh.shape[0] - h_host.shape[0]), constant_values=pad_h
+            )
         h, values = _pad_hv(h, values, xh.shape[0], pad_h=pad_h)
         ny, nx = spec.shape
         x0, x1, y0, y1 = extent
         psx = (x1 - x0) / nx
         psy = (y1 - y0) / ny
-        u = (xh - x0) / psx
-        v = (yh - y0) / psy
-        if spec.periodic_wrap:
-            u = np.mod(u, nx)
-            v = np.mod(v, ny)
-        s_pix = kspec.support_factor * np.asarray(h, np.float64) / min(psx, psy)
-        level, tile, u_loc, v_loc = _multi_level_assign(
-            u, v, s_pix, bounds, *geom_tuples, np
+        # fused single-pass native assignment (falls back to the multi-pass
+        # NumPy formulation without a C toolchain; bit-identical otherwise)
+        from .. import native as _native
+
+        assigned = _native.assign_tiles_f64(
+            xh, yh, h_host,
+            x0=x0, y0=y0, psx=psx, psy=psy, nx=nx, ny=ny,
+            periodic=spec.periodic_wrap, support_factor=kspec.support_factor,
+            bounds=bounds, ntx=geom_tuples[0], nty=geom_tuples[3],
+            tw=geom_tuples[2], th=geom_tuples[1], marg=geom_tuples[4],
+            stride=_LEVEL_STRIDE,
         )
-        key = (level * _LEVEL_STRIDE + tile).astype(np.int32)
+        if assigned is not None:
+            key, u_loc, v_loc = assigned
+        else:
+            u = (xh - x0) / psx
+            v = (yh - y0) / psy
+            if spec.periodic_wrap:
+                u = np.mod(u, nx)
+                v = np.mod(v, ny)
+            s_pix = kspec.support_factor * h_host.astype(np.float64) / min(psx, psy)
+            level, tile, u_loc, v_loc = _multi_level_assign(
+                u, v, s_pix, bounds, *geom_tuples, np
+            )
+            key = (level * _LEVEL_STRIDE + tile).astype(np.int32)
         sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort_local(
             len(bounds), n_fields
         )(
@@ -909,7 +953,8 @@ def _cached_tile_sort_local(n_levels, n_fields):
 
 
 def _deposit_level_from_layout(
-    tp: TiledParticles, meta, precision: str, interpret: bool
+    tp: TiledParticles, meta, precision: str, interpret: bool,
+    projection: str = "kernel3d",
 ) -> Array:
     """Render one level from the sorted layout: gather its (bucketed) segment
     and run the flat-grid pallas pass. Device-only."""
@@ -918,7 +963,7 @@ def _deposit_level_from_layout(
         geom, tp.spec.shape, tuple(float(e) for e in tp.spec.extent),
         tp.spec.periodic_wrap, tp.spec.sample_offset, tp.n_fields,
         tp.kernel, get_kernel(tp.kernel).support_factor, precision, interpret,
-        bucket,
+        bucket, projection,
     )(tp.sorted_u, tp.sorted_v, tp.sorted_h, tp.sorted_values, tp.sorted_tile,
       jnp.int32(lo), jnp.int32(count))
 
@@ -927,6 +972,7 @@ def _deposit_level_from_layout(
 def _cached_layout_level(
     geom, shape, extent, periodic, offset, n_fields,
     kernel, support_factor, precision, interpret, bucket,
+    projection="kernel3d",
 ):
     C = _CHUNK
     cfg, tx = geom.cfg, geom.tx
@@ -967,6 +1013,7 @@ def _cached_layout_level(
         tiles = _cached_deposit_call(
             cfg, geom.n_tiles_x, geom.n_tiles_y, n_steps, n_rows, n_fields, tx,
             kernel, support_factor, psx, psy, offset, precision, interpret,
+            projection,
         )(sched, block_start, tile_off, pstart, pcount, packed)
         return _overlap_add(
             tiles, cfg, tx, geom.n_tiles_y, geom.n_tiles_x, n_fields, ny, nx,
@@ -981,6 +1028,7 @@ def deposit_tiled(
     *,
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
+    projection: str = "kernel3d",
 ) -> Array:
     """Render the full adaptive-h map stack from a :class:`TiledParticles`
     layout. All levels run device-resident; only oversize-footprint
@@ -992,7 +1040,9 @@ def deposit_tiled(
     ny, nx = tp.spec.shape
     total = jnp.zeros((tp.n_fields, ny, nx), jnp.float32)
     for meta in tp.geoms:
-        total = total + _deposit_level_from_layout(tp, meta, precision, interpret)
+        total = total + _deposit_level_from_layout(
+            tp, meta, precision, interpret, projection
+        )
 
     if tp.n_oversize:
         from .deposit import deposit_2d  # late import: sibling module
@@ -1007,7 +1057,9 @@ def deposit_tiled(
         yo = np.asarray(tp.sorted_v[sl]) * psy + y0
         ho = np.asarray(tp.sorted_h[sl])
         vo = np.asarray(tp.sorted_values[:, sl])
-        img = deposit_2d(xo, yo, ho, vo.T, tp.spec, kernel=tp.kernel)
+        img = deposit_2d(
+            xo, yo, ho, vo.T, tp.spec, kernel=tp.kernel, projection=projection
+        )
         total = total + jnp.moveaxis(
             img if img.ndim == 3 else img[..., None], -1, 0
         )
@@ -1020,14 +1072,20 @@ def deposit_2d_auto(
     kernel: str = "cubic_spline",
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
+    projection: str = "kernel3d",
 ):
     """Adaptive-h deposit: device-resident level/tile partition (one fused
     sort), one fused Pallas pass per populated footprint level, oversize
     stragglers routed to the XLA dense path.
 
+    ``projection``: 'kernel3d' reproduces the reference convention (3D kernel
+    at the projected radius); 'integrated' uses the analytically
+    line-integrated kernel (physically-correct column densities).
     Returns (ny, nx) for single-field input, else (F, ny, nx).
     """
     values, single = _as_field_matrix(values)
     tp = tile_particles(x, y, h, values, spec, kernel=kernel)
-    total = deposit_tiled(tp, precision=precision, interpret=interpret)
+    total = deposit_tiled(
+        tp, precision=precision, interpret=interpret, projection=projection
+    )
     return total[0] if single else total

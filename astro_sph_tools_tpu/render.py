@@ -121,7 +121,10 @@ def render_map_stack(
 
     with timer.phase("deposit"):
         if engine == "pallas":
-            maps = deposit_2d_auto(pos[:, i], pos[:, j], h, values, spec, kernel=kernel)
+            maps = deposit_2d_auto(
+                pos[:, i], pos[:, j], h, values, spec, kernel=kernel,
+                projection=projection,
+            )
         elif engine == "xla":
             maps = deposit_2d(
                 pos[:, i], pos[:, j], h, values.T, spec, kernel=kernel, projection=projection

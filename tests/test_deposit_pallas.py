@@ -176,3 +176,35 @@ class TestTiledLayout:
         got = np.asarray(deposit_tiled(tp.with_values(m2), precision="f32"))[0]
         exp = project_oracle(x, y, h, m2, spec.shape, spec.extent)
         assert rel_err(got, exp) < 1e-5
+
+
+def test_integrated_projection_matches_xla():
+    """projection='integrated' (line-integrated kernel) in the fused pass."""
+    import numpy as np
+    from astro_sph_tools_tpu.ops.deposit import MapSpec, deposit_2d
+    from astro_sph_tools_tpu.ops.deposit_pallas import (
+        deposit_2d_auto,
+        deposit_2d_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    n, box = 20000, 10.0
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = np.exp(rng.normal(np.log(0.08), 0.6, n)).clip(0.03, 1.0)
+    m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+
+    ref = np.asarray(deposit_2d(x, y, h, m, spec, projection="integrated"))
+    got = np.asarray(deposit_2d_auto(x, y, h, m, spec, projection="integrated"))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-5
+
+    # integrated columns conserve mass (kernel3d, the reference convention,
+    # deliberately does not)
+    px = box / 128
+    assert abs(got.sum() * px * px - m.sum()) / m.sum() < 5e-3
+
+    hs = np.full(n, 0.1)
+    refs = np.asarray(deposit_2d(x, y, hs, m, spec, projection="integrated"))
+    gots = np.asarray(deposit_2d_pallas(x, y, hs, m, spec, projection="integrated"))
+    assert np.abs(gots - refs).max() / np.abs(refs).max() < 2e-5
