@@ -22,6 +22,8 @@ from ..ops.periodic import (
 from ..ops.reorder import ArrayMapping, ArrayReorder
 from ..ops.sightlines import column_integrate, los_profiles
 from ..ops.spectra import absorption_spectra, doppler_parameter_kms
+from . import projections
+from .projections import create_image, quartic_spline_kernel
 
 # reference naming aliases
 calculate_wrapped_displacement = wrapped_displacement
@@ -57,6 +59,9 @@ __all__ = [
     "calculate_wrapped_distance",
     "absorption_spectra",
     "column_integrate",
+    "create_image",
+    "projections",
+    "quartic_spline_kernel",
     "doppler_parameter_kms",
     "deposit_2d",
     "deposit_2d_auto",
