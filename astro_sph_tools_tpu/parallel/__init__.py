@@ -13,8 +13,11 @@ from .sharded import (
     pad_for_mesh,
     partition_particles_by_slab,
 )
+from .sightlines import absorption_spectra_sharded, column_integrate_sharded
 
 __all__ = [
+    "absorption_spectra_sharded",
+    "column_integrate_sharded",
     "deposit_2d_sharded",
     "deposit_3d_sharded",
     "distributed_reorder",
