@@ -132,6 +132,54 @@ def main() -> None:
     )
     print(cases[-1], flush=True)
 
+    # integrated-kernel projection (physically-correct columns) through the
+    # adaptive path, vs the f64 LUT oracle
+    n = 1 << 21
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = np.clip(np.exp(rng.normal(np.log(0.9 * px), 0.55, n)), 0.25 * px, 24 * px)
+    m = rng.uniform(0.5, 2.0, n)
+    exp = project_oracle_fast(x, y, h, m, shape, spec.extent, projection="integrated")
+    got = np.asarray(
+        deposit_2d_auto(x, y, h, m, spec, precision="bf16x2", projection="integrated")
+    )
+    cases.append(
+        {
+            "case": "auto adaptive-h integrated projection",
+            "precision": "bf16x2",
+            "n_particles": n,
+            "max_rel_err": float(np.abs(got - exp).max() / np.abs(exp).max()),
+        }
+    )
+    print(cases[-1], flush=True)
+
+    # fused Pallas sightline columns vs the dense engine (config 4 numerics)
+    from astro_sph_tools_tpu.ops.sightlines import column_integrate
+    from astro_sph_tools_tpu.ops.sightlines_pallas import column_integrate_pallas
+
+    n, n_rays = 1 << 20, 2048
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = np.exp(rng.normal(np.log(10 * px), 0.5, n)).clip(2 * px, 60 * px)
+    m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    rx = rng.uniform(0, box, n_rays)
+    ry = rng.uniform(0, box, n_rays)
+    exp_cols = np.asarray(column_integrate(x, y, h, m, rx, ry, periodic_box=box))
+    got_cols = np.asarray(
+        column_integrate_pallas(x, y, h, m, rx, ry, periodic_box=box)
+    )
+    cases.append(
+        {
+            "case": "pallas sightline columns vs dense engine",
+            "precision": "f32+clenshaw",
+            "n_particles": n,
+            "max_rel_err": float(
+                np.abs(got_cols - exp_cols).max() / np.abs(exp_cols).max()
+            ),
+        }
+    )
+    print(cases[-1], flush=True)
+
     result = {
         "backend": backend,
         "oracle": "tests/oracles.py project_oracle_fast (f64 scatter, validated "

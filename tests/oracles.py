@@ -128,17 +128,23 @@ def project_oracle_fast(
     pixel_origin: str = "center",
     periodic: bool = False,
     support_factor: float = 2.0,
+    projection: str = "kernel3d",
 ) -> np.ndarray:
     """Particle-scatter f64 oracle: identical math to :func:`project_oracle`
     (validated against it in tests) but O(N * footprint) via ``np.add.at`` —
     usable at the 1e6-1e8 scales where the per-pixel gather is intractable.
+    ``projection='integrated'`` swaps the 3D-kernel-at-projected-radius weight
+    for the line-integrated column kernel (f64 LUT interpolation).
     """
     ny, nx = shape
     x0, x1, y0, y1 = extent
     psx = (x1 - x0) / nx
     psy = (y1 - y0) / ny
     off = 0.5 if pixel_origin == "center" else 0.0
-    w_fn = KERNEL_ORACLES[kernel]
+    if projection == "integrated":
+        w_fn = _integrated_w_oracle(kernel, support_factor)
+    else:
+        w_fn = KERNEL_ORACLES[kernel]
 
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
@@ -205,3 +211,19 @@ def project_oracle_fast(
                     flat[valid], weights=w.ravel()[valid], minlength=ny * nx
                 ).reshape(ny, nx)
     return image
+
+
+def _integrated_w_oracle(kernel: str, support_factor: float):
+    """f64 line-integrated column weight Y(b, h) by fine LUT interpolation
+    (65536 quadrature samples: interpolation error ~1e-10 of peak)."""
+    from astro_sph_tools_tpu.kernels.splines import integrated_kernel_table
+
+    tab = integrated_kernel_table(kernel, 65536)
+    grid = np.linspace(0.0, 1.0, 65536)
+
+    def w(r, h):
+        u = r / (support_factor * h)
+        y = np.interp(np.minimum(u, 1.0), grid, tab)
+        return np.where(u < 1.0, y / (h * h), 0.0)
+
+    return w
