@@ -56,13 +56,22 @@ from ..kernels.splines import (
 Array = jax.Array
 
 _C = 1024  # particles per grid step
-_B = 128  # rays per block (sublane dimension of the pair block)
+# Rays per block: the sublane dimension of the pair block. SMALL blocks are
+# the whole performance story: a block's candidate span is the x-windowed
+# 1-ring of its rays' cells, so at B = 128 (round-2 first cut) a block of
+# cell-sorted rays covered ~2 full cell rows and scanned ~50x more particles
+# than its rays could touch (measured 0.6% of pair evaluations valid at the
+# config-4 shape). B = 8 keeps the accumulator at the (8, 128) f32 native
+# tile while shrinking each block's window to a few cells.
+_B = 8
+_U = 10  # schedule units per ray block: 5 wrapped rows x (main + x-wrap)
 _UNIT_MASK = (1 << 24) - 1
 _WORK_BIT = 24
 _ZERO_BIT = 25
-_LEVEL_STRIDE = 1 << 25  # composite key: level * STRIDE + cell id (< 4096^2)
+_LEVEL_STRIDE = 1 << 25  # composite key: level * STRIDE + cell id
 _MAX_LEVELS = 6
 _MAX_GRID = 4096
+_MAX_CELLS = 1 << 20  # per-level cell cap (bounds table stays searchable)
 
 
 def _next_pow2(n: int) -> int:
@@ -78,6 +87,14 @@ def _choose_grids(Lx: float, Ly: float, s_max: float) -> tuple[tuple[int, int], 
         cell = max(s_max, 1e-30) / (1 << l)
         ncx = min(_MAX_GRID, max(1, 1 << int(np.floor(np.log2(max(Lx / cell, 1.0))))))
         ncy = min(_MAX_GRID, max(1, 1 << int(np.floor(np.log2(max(Ly / cell, 1.0))))))
+        # keep the per-cell bounds table (ncx*ncy + 1 entries) tractable;
+        # coarser-than-support cells only widen candidate windows (still
+        # correct, 1-ring coverage is preserved)
+        while ncx * ncy > _MAX_CELLS:
+            if ncx >= ncy:
+                ncx //= 2
+            else:
+                ncy //= 2
         grids.append((ncx, ncy))
     return tuple(grids)
 
@@ -90,16 +107,18 @@ def _choose_grids(Lx: float, Ly: float, s_max: float) -> tuple[tuple[int, int], 
 @lru_cache(maxsize=128)
 def _cached_prep(grids, n_fields: int, support_factor: float, periodic: bool):
     """Jitted: assign (level, cell), one composite sort, pack channels, and
-    emit every level's cell-row boundary table in one searchsorted.
+    emit every level's PER-CELL boundary table in one searchsorted (the
+    x-windowed schedule needs cell granularity, not just row starts).
 
     ``extent`` rides as a traced (4,) array [x0, y0, Lx, Ly] so differing
     boxes reuse the compiled program.
     """
     n_levels = len(grids)
-    # static row-boundary key offsets: level l contributes ncy_l + 1 entries
+    # static boundary key offsets: level l contributes ncx_l*ncy_l + 1
+    # entries (bounds of every cell, cell c's range = [keys[c], keys[c+1]))
     bound_keys = np.concatenate(
         [
-            l * _LEVEL_STRIDE + np.arange(g[1] + 1, dtype=np.int64) * g[0]
+            l * _LEVEL_STRIDE + np.arange(g[0] * g[1] + 1, dtype=np.int64)
             for l, g in enumerate(grids)
         ]
     ).astype(np.int32)
@@ -146,46 +165,115 @@ def _cached_prep(grids, n_fields: int, support_factor: float, periodic: bool):
 # ---------------------------------------------------------------------------
 
 
-def _level_schedule(r_rows, row_start, row_end, ncy: int, periodic: bool):
-    """Per-unit (lo, hi) spans for one level's ray blocks: 3 units per block
-    (main 1-ring row span + up to two periodic wrap spans)."""
+def _level_schedule(r_rows, r_cols, cells, ncx: int, ncy: int, periodic: bool):
+    """Per-unit (lo, hi) sorted-particle spans for one level's ray blocks:
+    ``_U`` units per block.
+
+    A block of ``_B`` cell-sorted rays covers rows [r0-1, r1+1] and the x
+    window [cx_min-1, cx_max+1]. Narrow blocks (<= 3 raw rows, the common
+    case) emit per-row X-WINDOWED spans — up to 5 wrapped rows x (main +
+    x-wrap) — which is what makes small ray blocks pay: the window is a few
+    cells, not the full row. Wide blocks (coarse grids where >B rays share a
+    row is false) fall back to one contiguous full-row span + y-wrap rows.
+
+    ``cells`` is the level's per-cell boundary table (ncx*ncy + 1,).
+    """
     nb = r_rows.shape[0] // _B
-    r0 = r_rows[0::_B].astype(np.int64)
-    r1 = r_rows[_B - 1 :: _B].astype(np.int64)
-    loA = row_start[np.maximum(r0 - 1, 0)]
-    hiA = row_end[np.minimum(r1 + 1, ncy - 1)]
-    if periodic:
-        # wrap spans only when the wrapped row is not already inside the
-        # clamped main span (coarse grids: r1 + 1 can reach ncy - 1)
-        top = (r0 == 0) & (r1 + 1 < ncy - 1)
-        bot = (r1 == ncy - 1) & (r0 - 1 > 0)
-        loB = np.where(top, row_start[ncy - 1], 0)
-        hiB = np.where(top, row_end[ncy - 1], 0)
-        loC = np.where(bot, row_start[0], 0)
-        hiC = np.where(bot, row_end[0], 0)
-    else:
-        loB = hiB = loC = hiC = np.zeros(nb, np.int64)
-    lo = np.stack([loA, loB, loC], axis=1).ravel().astype(np.int64)
-    hi = np.maximum(np.stack([hiA, hiB, hiC], axis=1).ravel().astype(np.int64), lo)
-    return lo, hi
+    rr = r_rows.reshape(nb, _B).astype(np.int64)
+    rc = r_cols.reshape(nb, _B).astype(np.int64)
+    r0, r1 = rr[:, 0], rr[:, -1]  # rows are non-decreasing within a block
+    cxlo = rc.min(axis=1) - 1
+    cxhi = rc.max(axis=1) + 1
+    full_x = (cxhi - cxlo + 1) >= ncx
+    narrow = (r1 - r0) <= 2
+
+    cells = cells.astype(np.int64)
+    row_start = cells[np.arange(ncy, dtype=np.int64) * ncx]
+    row_end = cells[(np.arange(ncy, dtype=np.int64) + 1) * ncx]
+
+    lo = np.zeros((nb, _U), np.int64)
+    hi = np.zeros((nb, _U), np.int64)
+
+    # --- narrow blocks: per-row x-windowed spans ---------------------------
+    a = np.where(full_x, 0, np.maximum(cxlo, 0))
+    b = np.where(full_x, ncx - 1, np.minimum(cxhi, ncx - 1))
+    # x-wrap window (periodic, not full width; an interval can only stick
+    # out on ONE side without covering the whole row)
+    wa = np.where(cxlo < 0, ncx + cxlo, 0)
+    wb = np.where(cxlo < 0, ncx - 1, cxhi - ncx)
+    x_wrap = (~full_x) & ((cxlo < 0) | (cxhi > ncx - 1)) if periodic else np.zeros(nb, bool)
+    n_raw = r1 - r0 + 3  # raw 1-ring row count (distinct before wrapping)
+    for i in range(5):
+        rr_i = r0 - 1 + i
+        if periodic:
+            # first min(n_raw, ncy) consecutive rows stay distinct mod ncy
+            act = narrow & (i < np.minimum(n_raw, ncy))
+            wr = np.mod(rr_i, ncy)
+        else:
+            act = narrow & (i < n_raw) & (rr_i >= 0) & (rr_i < ncy)
+            wr = np.clip(rr_i, 0, ncy - 1)
+        base = wr * ncx
+        mlo = cells[base + a]
+        mhi = cells[base + b + 1]
+        lo[:, 2 * i] = np.where(act, mlo, 0)
+        hi[:, 2 * i] = np.where(act, np.maximum(mhi, mlo), 0)
+        if periodic:
+            wlo = cells[base + np.clip(wa, 0, ncx - 1)]
+            whi = cells[base + np.clip(wb, -1, ncx - 1) + 1]
+            actw = act & x_wrap
+            lo[:, 2 * i + 1] = np.where(actw, wlo, 0)
+            hi[:, 2 * i + 1] = np.where(actw, np.maximum(whi, wlo), 0)
+
+    # --- wide blocks: contiguous full-row span + y wraps -------------------
+    wide = ~narrow
+    if wide.any():
+        loA = row_start[np.maximum(r0 - 1, 0)]
+        hiA = row_end[np.minimum(r1 + 1, ncy - 1)]
+        lo[wide, 0] = loA[wide]
+        hi[wide, 0] = np.maximum(hiA, loA)[wide]
+        if periodic:
+            top = wide & (r0 == 0) & (r1 + 1 < ncy - 1)
+            bot = wide & (r1 == ncy - 1) & (r0 - 1 > 0)
+            lo[top, 1] = row_start[ncy - 1]
+            hi[top, 1] = max(row_end[ncy - 1], row_start[ncy - 1])
+            lo[bot, 2] = row_start[0]
+            hi[bot, 2] = max(row_end[0], row_start[0])
+        lo[wide, 3:] = 0
+        hi[wide, 3:] = 0
+
+    return lo.ravel(), hi.ravel()
 
 
-def _build_schedule(unit_lo, unit_hi):
+def _compact_units(lo, hi, block0: int):
+    """Drop empty units so the SMEM unit tables stay small (the fixed
+    ``_U``-per-block layout at config-4 scale overflowed the 1 MB SMEM
+    budget). Each block's unit 0 survives even when empty — it anchors the
+    accumulator zeroing step. Returns (lo, hi, block id) per kept unit."""
+    nb = lo.shape[0] // _U
+    keep = (hi > lo).reshape(nb, _U)
+    keep[:, 0] = True
+    blk = block0 + np.repeat(np.arange(nb, dtype=np.int64), _U)
+    m = keep.ravel()
+    return lo[m], hi[m], blk[m]
+
+
+def _build_schedule(unit_lo, unit_hi, unit_blk):
     """Pack the flat work-list: one int32 word per step
-    (unit | work<<24 | zero<<25). Every block's first unit (unit % 3 == 0)
-    gets at least one step so its accumulator is always zeroed."""
+    (unit | work<<24 | zero<<25). Every block's first unit gets at least one
+    step so its accumulator is always zeroed."""
     lo = unit_lo
     hi = unit_hi
     c0 = lo // _C
     nch = np.where(hi > lo, (hi + _C - 1) // _C - c0, 0)
-    nch1 = nch.copy()
-    nch1[0::3] = np.maximum(nch1[0::3], 1)
+    first = np.ones(lo.shape[0], bool)
+    first[1:] = unit_blk[1:] != unit_blk[:-1]
+    nch1 = np.where(first, np.maximum(nch, 1), nch)
     off = np.concatenate([[0], np.cumsum(nch1)])
     n_steps = int(off[-1])
     unit = np.repeat(np.arange(nch1.shape[0], dtype=np.int64), nch1)
     j_in = np.arange(n_steps, dtype=np.int64) - off[unit]
     work = (j_in < nch[unit]).astype(np.int64)
-    zero = ((j_in == 0) & (unit % 3 == 0)).astype(np.int64)
+    zero = ((j_in == 0) & first[unit]).astype(np.int64)
     sched = unit | (work << _WORK_BIT) | (zero << _ZERO_BIT)
     n_pad = _next_pow2(max(n_steps, 1))
     sched = np.pad(sched, (0, n_pad - n_steps), constant_values=int(unit[-1]))
@@ -347,10 +435,15 @@ def column_integrate_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    x = np.asarray(x, np.float32)
-    y = np.asarray(y, np.float32)
-    h_np = np.asarray(h, np.float32)
-    values = np.asarray(values, np.float32)
+    # device-resident fast path: jax-array particle inputs stay on device
+    # (no host bounce; only scalars and the small bounds table sync) — this
+    # is what streamed / sharded pipelines call with
+    on_device = isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer)
+    xp = jnp if on_device else np
+    x = xp.asarray(x, xp.float32)
+    y = xp.asarray(y, xp.float32)
+    h_np = xp.asarray(h, xp.float32)
+    values = xp.asarray(values, xp.float32)
     single = values.ndim == 1
     if single:
         values = values[:, None]
@@ -381,10 +474,10 @@ def column_integrate_pallas(
     n_bucket = max(_C, _next_pow2(n))
     if n_bucket != n:
         padn = n_bucket - n
-        x = np.pad(x, (0, padn), constant_values=x0)
-        y = np.pad(y, (0, padn), constant_values=y0)
-        h_np = np.pad(h_np, (0, padn), constant_values=1e-20)
-        values = np.pad(values, ((0, padn), (0, 0)))
+        x = xp.pad(x, (0, padn), constant_values=x0)
+        y = xp.pad(y, (0, padn), constant_values=y0)
+        h_np = xp.pad(h_np, (0, padn), constant_values=1e-20)
+        values = xp.pad(values, ((0, padn), (0, 0)))
 
     extent = jnp.asarray([x0, y0, Lx, Ly], jnp.float32)
     packed, bounds = _cached_prep(
@@ -397,14 +490,13 @@ def column_integrate_pallas(
     nb = max(1, (n_rays + _B - 1) // _B)
     r_pad = nb * _B
     level_meta = []  # (rorder,) per populated level, in block order
-    rx_parts, ry_parts, lo_parts, hi_parts = [], [], [], []
+    rx_parts, ry_parts, lo_parts, hi_parts, blk_parts = [], [], [], [], []
     boff = 0
     for l in range(_MAX_LEVELS):
         ncx, ncy = grids[l]
-        row_start = bounds[boff : boff + ncy]
-        row_end = bounds[boff + 1 : boff + ncy + 1]
-        boff += ncy + 1
-        if int(row_end[-1] - row_start[0]) == 0:
+        cells = bounds[boff : boff + ncx * ncy + 1]
+        boff += ncx * ncy + 1
+        if int(cells[-1] - cells[0]) == 0:
             continue
         rcx = np.clip(((rays[0] - x0) * (ncx / Lx)).astype(np.int64), 0, ncx - 1)
         rcy = np.clip(((rays[1] - y0) * (ncy / Ly)).astype(np.int64), 0, ncy - 1)
@@ -415,23 +507,28 @@ def column_integrate_pallas(
         ry_s[:n_rays] = rays[1][rorder]
         r_rows = np.full(r_pad, rcy[rorder[-1]], np.int64)
         r_rows[:n_rays] = rcy[rorder]
+        r_cols = np.full(r_pad, rcx[rorder[-1]], np.int64)
+        r_cols[:n_rays] = rcx[rorder]
         lo, hi = _level_schedule(
-            r_rows, row_start.astype(np.int64), row_end.astype(np.int64),
-            ncy, periodic_box is not None,
+            r_rows, r_cols, cells.astype(np.int64),
+            ncx, ncy, periodic_box is not None,
         )
+        lo, hi, blk = _compact_units(lo, hi, len(level_meta) * nb)
         level_meta.append(rorder)
         rx_parts.append(rx_s.reshape(nb, _B))
         ry_parts.append(ry_s.reshape(nb, _B))
         lo_parts.append(lo)
         hi_parts.append(hi)
+        blk_parts.append(blk)
 
     totals = np.zeros((n_fields, n_rays), np.float32)
     if level_meta:
         unit_lo = np.concatenate(lo_parts)
         unit_hi = np.concatenate(hi_parts)
-        sched, uoff, n_steps = _build_schedule(unit_lo, unit_hi)
+        unit_blk = np.concatenate(blk_parts)
+        sched, uoff, n_steps = _build_schedule(unit_lo, unit_hi, unit_blk)
         n_pop = len(level_meta)
-        ub = np.repeat(np.arange(n_pop * nb, dtype=np.int64), 3).astype(np.int32)
+        ub = unit_blk.astype(np.int32)
         out = _cached_engine(
             n_pop * nb, n_steps, n_bucket // _C, n_fields, kernel, projection,
             periodic_box is not None, Lx, Ly, interpret,

@@ -46,6 +46,7 @@ from .sightlines_pallas import (
     _build_schedule,
     _cached_prep,
     _choose_grids,
+    _compact_units,
     _level_schedule,
     _next_pow2,
 )
@@ -308,14 +309,14 @@ def absorption_spectra_pallas(
 
     nb = max(1, (n_rays + _B - 1) // _B)
     r_pad = nb * _B
-    inv_orders, rx_parts, ry_parts, lo_parts, hi_parts = [], [], [], [], []
+    inv_orders, rx_parts, ry_parts = [], [], []
+    lo_parts, hi_parts, blk_parts = [], [], []
     boff = 0
     for l in range(_MAX_LEVELS):
         ncx, ncy = grids[l]
-        row_start = bounds[boff : boff + ncy]
-        row_end = bounds[boff + 1 : boff + ncy + 1]
-        boff += ncy + 1
-        if int(row_end[-1] - row_start[0]) == 0:
+        cells = bounds[boff : boff + ncx * ncy + 1]
+        boff += ncx * ncy + 1
+        if int(cells[-1] - cells[0]) == 0:
             continue
         rcx = np.clip(((rays[0] - x0) * (ncx / Lx)).astype(np.int64), 0, ncx - 1)
         rcy = np.clip(((rays[1] - y0) * (ncy / Ly)).astype(np.int64), 0, ncy - 1)
@@ -326,10 +327,13 @@ def absorption_spectra_pallas(
         ry_s[:n_rays] = rays[1][rorder]
         r_rows = np.full(r_pad, rcy[rorder[-1]], np.int64)
         r_rows[:n_rays] = rcy[rorder]
+        r_cols = np.full(r_pad, rcx[rorder[-1]], np.int64)
+        r_cols[:n_rays] = rcx[rorder]
         lo, hi = _level_schedule(
-            r_rows, row_start.astype(np.int64), row_end.astype(np.int64),
-            ncy, periodic,
+            r_rows, r_cols, cells.astype(np.int64),
+            ncx, ncy, periodic,
         )
+        lo, hi, blk = _compact_units(lo, hi, len(inv_orders) * nb)
         inv = np.empty(n_rays, np.int64)
         inv[rorder] = np.arange(n_rays)
         inv_orders.append(inv.astype(np.int32))
@@ -337,15 +341,17 @@ def absorption_spectra_pallas(
         ry_parts.append(ry_s.reshape(nb, _B))
         lo_parts.append(lo)
         hi_parts.append(hi)
+        blk_parts.append(blk)
 
     if not inv_orders:
         return jnp.zeros((n_rays, n_bins), jnp.float32), v_centres
 
     unit_lo = np.concatenate(lo_parts)
     unit_hi = np.concatenate(hi_parts)
-    sched, uoff, n_steps = _build_schedule(unit_lo, unit_hi)
+    unit_blk = np.concatenate(blk_parts)
+    sched, uoff, n_steps = _build_schedule(unit_lo, unit_hi, unit_blk)
     n_pop = len(inv_orders)
-    ub = np.repeat(np.arange(n_pop * nb, dtype=np.int64), 3).astype(np.int32)
+    ub = unit_blk.astype(np.int32)
     vparam = np.asarray([v0, dv_bin, v_box if v_box else 1.0], np.float32)
 
     tau = _cached_spectra_engine(

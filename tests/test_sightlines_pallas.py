@@ -85,3 +85,42 @@ def test_coarse_grid_periodic_wrap_no_double_count():
         column_integrate_binned(x, y, h, v, rx, ry, periodic_box=box),
     ):
         assert _rel(got, ref) < 3e-6
+
+
+def test_edge_rays_xwrap_spans():
+    """Rays hugging the box edges exercise the x-window wrap spans of the
+    cell-level schedule (`_level_schedule` narrow-block x-wrap units)."""
+    rng = np.random.default_rng(3)
+    box = 10.0
+    n = 30000
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    h = np.exp(rng.normal(np.log(0.1), 0.6, n)).clip(0.02, 1.0)
+    v = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    # rays pinned to the four edges + corners (x- and y-wrap all active)
+    t = rng.uniform(0, box, 60)
+    eps = 1e-3
+    rx = np.concatenate([t, t, np.full(60, eps), np.full(60, box - eps), [eps, box - eps]])
+    ry = np.concatenate([np.full(60, eps), np.full(60, box - eps), t, t, [eps, box - eps]])
+    ref = column_integrate(x, y, h, v, rx, ry, periodic_box=box)
+    got = column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box)
+    assert _rel(got, ref) < 3e-6
+
+
+def test_row_spanning_blocks_and_ragged_rays():
+    """Ray count not a multiple of the block size, with rays spread so thin
+    that blocks span multiple cell rows (wide-block fallback path)."""
+    rng = np.random.default_rng(4)
+    box = 25.0
+    n = 40000
+    x = rng.uniform(0, box, n)
+    y = rng.uniform(0, box, n)
+    # large smoothing lengths -> coarse grids -> few rays per row
+    h = rng.uniform(1.0, 3.0, n)
+    v = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    rx = rng.uniform(0, box, 41)
+    ry = rng.uniform(0, box, 41)
+    for pb in (box, None):
+        ref = column_integrate(x, y, h, v, rx, ry, periodic_box=pb)
+        got = column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=pb)
+        assert _rel(got, ref) < 3e-6
