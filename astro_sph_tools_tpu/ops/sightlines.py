@@ -98,7 +98,9 @@ def _column_integrate_impl(
                 w = kernel.w(b, ch[None, :])
             w = jnp.where(b2 < (S * ch[None, :]) ** 2, w, 0.0)
             # (F, RT) += (F, C) @ (C, RT)
-            return tot.at[:, rt, :].add(jnp.einsum("cf,rc->fr", cv, w))
+            return tot.at[:, rt, :].add(jnp.einsum(
+                "cf,rc->fr", cv, w, precision=jax.lax.Precision.HIGHEST
+            ))
 
         tot = jax.lax.fori_loop(0, n_ray_tiles, ray_tile, tot)
         return tot, None
@@ -205,7 +207,9 @@ def _los_profiles_impl(
         r2 = b2[:, None, :] + (dz * dz)[None, :, :]  # (R, B, C)
         w = kernel.w(jnp.sqrt(r2), ch[None, None, :])
         w = jnp.where(r2 < (S * ch[None, None, :]) ** 2, w, 0.0)
-        prof = prof + jnp.einsum("cf,rbc->frb", cv, w)
+        prof = prof + jnp.einsum(
+            "cf,rbc->frb", cv, w, precision=jax.lax.Precision.HIGHEST
+        )
         return prof, None
 
     prof, _ = jax.lax.scan(

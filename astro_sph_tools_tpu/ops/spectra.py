@@ -98,8 +98,11 @@ def _spectra_impl(
                 jnp.exp(-((dv / cb[None, :]) ** 2)) * (inv_sqrt_pi / cb[None, :])
             )  # (B, C), normalised: integral over v = 1
 
-        # (R, B) += (R, C) @ (C, B)
-        tau = tau + jnp.einsum("rc,bc->rb", w_col, phi)
+        # (R, B) += (R, C) @ (C, B). HIGHEST: TPU f32 dots default to
+        # bf16 multiplication; this engine is the numerics oracle.
+        tau = tau + jnp.einsum(
+            "rc,bc->rb", w_col, phi, precision=jax.lax.Precision.HIGHEST
+        )
         return tau, None
 
     tau, _ = jax.lax.scan(
@@ -300,7 +303,10 @@ def _binned_spectra_impl(
                     phi = jnp.exp(-((dv / bs[None, :]) ** 2)) * (
                         inv_sqrt_pi / bs[None, :]
                     )
-                return tau + jnp.einsum("rc,bc->rb", w_col, phi)
+                return tau + jnp.einsum(
+                    "rc,bc->rb", w_col, phi,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
             return jax.lax.fori_loop(c0, c1, inner, tau)
 

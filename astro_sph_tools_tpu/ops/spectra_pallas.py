@@ -55,6 +55,14 @@ from .spectra import doppler_parameter_kms
 Array = jax.Array
 
 
+def _doppler_xp(xp, temperature, atomic_weight: float):
+    """`doppler_parameter_kms` over the caller's array namespace (np or jnp)."""
+    from .. import constants as C
+
+    m = atomic_weight * C.ATOMIC_MASS_UNIT_CGS
+    return xp.sqrt(2.0 * C.BOLTZMANN_CONSTANT_CGS * temperature / m) / 1.0e5
+
+
 def _split_bf16(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -117,8 +125,10 @@ def _spectra_kernel(
         v_box = vparam_ref[2]
         v_eff = data[4:5, :].reshape(_C, 1)  # (C, 1)
         b_dop = data[5:6, :].reshape(_C, 1)
+        # integer iota -> f32: Mosaic's tpu.iota only produces integers
         bins = (
-            jax.lax.broadcasted_iota(jnp.float32, (_C, n_bins), 1) + 0.5
+            jax.lax.broadcasted_iota(jnp.int32, (_C, n_bins), 1).astype(jnp.float32)
+            + 0.5
         ) * dv_bin + v0  # (C, n_bins)
         dv = bins - v_eff
         inv_b = 1.0 / b_dop
@@ -242,11 +252,15 @@ def absorption_spectra_pallas(
         interpret = jax.default_backend() != "tpu"
     if n_bins % 128:
         raise ValueError("pallas spectra need n_bins to be a multiple of 128")
-    pos = np.asarray(pos)
-    h_np = np.asarray(h, np.float32)
-    col_values = np.asarray(values, np.float32)
-    v_pec = np.asarray(velocities_los, np.float32)
-    temperature = np.asarray(temperatures)
+    # device-resident fast path: jax-array inputs stay on device (only
+    # scalars and the small bounds table sync)
+    on_device = isinstance(pos, jax.Array) and not isinstance(pos, jax.core.Tracer)
+    xp = jnp if on_device else np
+    pos = xp.asarray(pos)
+    h_np = xp.asarray(h, xp.float32)
+    col_values = xp.asarray(values, xp.float32)
+    v_pec = xp.asarray(velocities_los, xp.float32)
+    temperature = xp.asarray(temperatures)
     if box_size is None and periodic:
         raise ValueError("periodic spectra need box_size")
 
@@ -255,11 +269,11 @@ def absorption_spectra_pallas(
         dv_dx = cosmology.hubble_rate() * cosmology.expansion_factor
     else:
         dv_dx = 0.0
-    v_eff = (pos[:, 2] * dv_dx + v_pec).astype(np.float32)
+    v_eff = (pos[:, 2] * dv_dx + v_pec).astype(xp.float32)
     v_box = float(box_size * dv_dx) if (box_size is not None and dv_dx > 0) else None
-    b_dopp = np.maximum(
-        doppler_parameter_kms(temperature, atomic_weight), 1e-3
-    ).astype(np.float32)
+    b_dopp = xp.maximum(
+        _doppler_xp(xp, temperature, atomic_weight), 1e-3
+    ).astype(xp.float32)
     if v_box is not None:
         v_edges = np.linspace(0.0, v_box, n_bins + 1)
     else:
@@ -272,8 +286,8 @@ def absorption_spectra_pallas(
     n_vel_images = 3 if (periodic and v_box is not None) else 0
 
     kspec = get_kernel(kernel)
-    x = np.asarray(pos[:, 0], np.float32)
-    y = np.asarray(pos[:, 1], np.float32)
+    x = xp.asarray(pos[:, 0], xp.float32)
+    y = xp.asarray(pos[:, 1], xp.float32)
     n_rays = np.asarray(ray_x).shape[0]
     rays = np.stack([np.asarray(ray_x, np.float64), np.asarray(ray_y, np.float64)])
 
@@ -292,14 +306,27 @@ def absorption_spectra_pallas(
 
     n = x.shape[0]
     n_bucket = max(_C, _next_pow2(n))
-    vals3 = np.stack([col_values, v_eff, b_dopp], axis=1)  # (N, 3)
+    vals3 = xp.stack([col_values, v_eff, b_dopp], axis=1)  # (N, 3)
     if n_bucket != n:
         padn = n_bucket - n
-        x = np.pad(x, (0, padn), constant_values=x0)
-        y = np.pad(y, (0, padn), constant_values=y0)
-        h_np = np.pad(h_np, (0, padn), constant_values=1e-20)
-        vals3 = np.pad(vals3, ((0, padn), (0, 0)))
-        vals3[n:, 2] = 1.0  # padding Doppler width: avoid 1/0
+        x = xp.pad(x, (0, padn), constant_values=x0)
+        y = xp.pad(y, (0, padn), constant_values=y0)
+        h_np = xp.pad(h_np, (0, padn), constant_values=1e-20)
+        # padding Doppler width 1.0 (not 0): avoid 1/0 in the kernel
+        vals3 = xp.concatenate(
+            [
+                vals3,
+                xp.stack(
+                    [
+                        xp.zeros(padn, xp.float32),
+                        xp.zeros(padn, xp.float32),
+                        xp.ones(padn, xp.float32),
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=0,
+        )
 
     extent = jnp.asarray([x0, y0, Lx, Ly], jnp.float32)
     packed, bounds = _cached_prep(grids, 3, kspec.support_factor, periodic)(

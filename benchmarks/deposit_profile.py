@@ -75,14 +75,19 @@ def main() -> None:
         geom, spec.shape, extent, False, 0.5, 2, "cubic_spline", 2.0,
         "bf16x2", False,
     )
-    t_full = timed(lambda: pipe(x, y, h, vals))
+    # reduce on device: the 8 MB map D2H would otherwise add ~0.2 s of
+    # tunnel transfer to the timing
+    t_full = timed(lambda: jnp.sum(pipe(x, y, h, vals)))
 
-    # sort alone (same operand mix the pipeline uses)
+    # sort alone (same operand mix the pipeline uses). The result MUST be
+    # reduced on device: returning a 33M-element array makes the timing
+    # measure a 134 MB D2H transfer through the tunnel, not the sort
+    # (first version of this script reported 4.2 s for a 0.28 s sort).
     @jax.jit
     def sort_only(x, y, h, vals):
-        tile = (x * 7.3).astype(jnp.int32) % 1152  # same key cardinality
+        tile = (x * 46.08).astype(jnp.int32)  # same key cardinality (~1152)
         ops = jax.lax.sort([tile, x, y, h, vals[0], vals[1]], num_keys=1)
-        return ops[1]
+        return sum(jnp.sum(a[::65536]) for a in ops[1:])
 
     t_sort = timed(lambda: sort_only(x, y, h, vals))
     out["phases"] = {
@@ -100,7 +105,7 @@ def main() -> None:
     for F in (1, 2, 3, 5):
         v = jnp.asarray(rng.uniform(0.5, 2.0, (F, n2)), jnp.float32)
         jax.block_until_ready(v)
-        t = timed(lambda v=v, F=F: deposit_2d_pallas(x2, y2, h2, v, spec))
+        t = timed(lambda v=v, F=F: jnp.sum(deposit_2d_pallas(x2, y2, h2, v, spec)))
         out["fields"][f"F={F} (M={16*F})"] = round(t, 4)
         print(f"F={F}: {t:.4f} s", flush=True)
 
@@ -116,7 +121,7 @@ def main() -> None:
         )
         vl = jnp.asarray(rng.uniform(0.5, 2.0, (2, nl)), jnp.float32)
         jax.block_until_ready(vl)
-        t = timed(lambda: deposit_2d_pallas(xl, yl, hl, vl, spec, level=cfg))
+        t = timed(lambda: jnp.sum(deposit_2d_pallas(xl, yl, hl, vl, spec, level=cfg)))
         contrib = 2 * nl * cfg.K * (cfg.K + 1)
         out["levels"][f"K={cfg.K}"] = {
             "n": nl, "wall_s": round(t, 4),

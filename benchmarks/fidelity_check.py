@@ -180,6 +180,40 @@ def main() -> None:
     )
     print(cases[-1], flush=True)
 
+    # fused Pallas absorption spectra vs the dense engine (compiled-mode
+    # coverage: interpret-mode tests cannot catch Mosaic-only failures like
+    # the f32 tpu.iota rejection this case would have flagged)
+    from astro_sph_tools_tpu.ops.spectra import absorption_spectra
+    from astro_sph_tools_tpu.ops.spectra_pallas import absorption_spectra_pallas
+
+    n_s, n_rays_s = 1 << 18, 256
+    pos_s = rng.uniform(0, box, (n_s, 3)).astype(np.float32)
+    h_s = np.exp(rng.normal(np.log(10 * px), 0.5, n_s)).clip(2 * px, 60 * px)
+    val_s = rng.uniform(0.5, 2.0, n_s).astype(np.float32)
+    vel_s = rng.normal(0.0, 80.0, n_s).astype(np.float32)
+    T_s = rng.uniform(1e4, 1e6, n_s).astype(np.float32)
+    rxs = rng.uniform(0, box, n_rays_s)
+    rys = rng.uniform(0, box, n_rays_s)
+    exp_tau, _ = absorption_spectra(
+        pos_s, h_s, val_s, vel_s, T_s, rxs, rys, box_size=box, n_bins=256
+    )
+    got_tau, _ = absorption_spectra_pallas(
+        pos_s, h_s, val_s, vel_s, T_s, rxs, rys, box_size=box, n_bins=256
+    )
+    exp_tau = np.asarray(exp_tau)
+    got_tau = np.asarray(got_tau)
+    cases.append(
+        {
+            "case": "pallas absorption spectra vs dense engine",
+            "precision": "bf16x2 matmul",
+            "n_particles": n_s,
+            "max_rel_err": float(
+                np.abs(got_tau - exp_tau).max() / np.abs(exp_tau).max()
+            ),
+        }
+    )
+    print(cases[-1], flush=True)
+
     result = {
         "backend": backend,
         "oracle": "tests/oracles.py project_oracle_fast (f64 scatter, validated "
