@@ -225,15 +225,26 @@ def _deposit_kernel(
                     w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32,
                 )
-            # bf16x2: exact placement, split weights (hi + residual)
+            # bf16x2 / bf16x3: exact placement, split weights into bf16
+            # limbs (hi + residuals). Two limbs carry ~16 mantissa bits —
+            # a ~2^-17 per-contribution floor that a single sub-pixel
+            # particle's pixel exposes directly (measured 1.06e-5 on the
+            # adaptive mix); the third limb brings the floor to ~2^-25.
             Pb = Pk.astype(jnp.bfloat16)
             hi = w_rows.astype(jnp.bfloat16)
-            lo = (w_rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (
+            r1 = w_rows - hi.astype(jnp.float32)
+            lo = r1.astype(jnp.bfloat16)
+            contrib = (
                 contrib
                 + jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
                 + jnp.dot(lo, Pb, preferred_element_type=jnp.float32)
             )
+            if precision == "bf16x3":
+                l3 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+                contrib = contrib + jnp.dot(
+                    l3, Pb, preferred_element_type=jnp.float32
+                )
+            return contrib
 
         contrib = jax.lax.fori_loop(
             0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
@@ -1070,7 +1081,7 @@ def deposit_2d_auto(
     x, y, h, values, spec: MapSpec,
     *,
     kernel: str = "cubic_spline",
-    precision: str = "bf16x2",
+    precision: Optional[str] = None,
     interpret: Optional[bool] = None,
     projection: str = "kernel3d",
 ):
@@ -1081,8 +1092,15 @@ def deposit_2d_auto(
     ``projection``: 'kernel3d' reproduces the reference convention (3D kernel
     at the projected radius); 'integrated' uses the analytically
     line-integrated kernel (physically-correct column densities).
+    ``precision``: defaults to 'bf16x3' on the host-f64 quality path (the
+    two-limb split's ~2^-17 per-contribution floor shows up as ~1.1e-5 on
+    sub-pixel footprints; the third limb costs one extra matmul per column
+    offset) and 'bf16x2' for device/f32 inputs (throughput mode, where f32
+    input quantization dominates anyway).
     Returns (ny, nx) for single-field input, else (F, ny, nx).
     """
+    if precision is None:
+        precision = "bf16x3" if _is_host_f64(x) else "bf16x2"
     values, single = _as_field_matrix(values)
     tp = tile_particles(x, y, h, values, spec, kernel=kernel)
     total = deposit_tiled(

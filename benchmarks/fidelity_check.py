@@ -90,11 +90,11 @@ def main() -> None:
     h = np.clip(np.exp(rng.normal(np.log(0.9 * px), 0.55, n)), 0.25 * px, 24 * px)
     m = rng.uniform(0.5, 2.0, n)
     exp = project_oracle_fast(x, y, h, m, shape, spec.extent)
-    got = np.asarray(deposit_2d_auto(x, y, h, m, spec, precision="bf16x2"))
+    got = np.asarray(deposit_2d_auto(x, y, h, m, spec))
     cases.append(
         {
             "case": "auto adaptive-h (lognormal levels)",
-            "precision": "bf16x2",
+            "precision": "bf16x3 (quality default)",
             "n_particles": n,
             "max_rel_err": float(np.abs(got - exp).max() / np.abs(exp).max()),
         }
@@ -141,12 +141,12 @@ def main() -> None:
     m = rng.uniform(0.5, 2.0, n)
     exp = project_oracle_fast(x, y, h, m, shape, spec.extent, projection="integrated")
     got = np.asarray(
-        deposit_2d_auto(x, y, h, m, spec, precision="bf16x2", projection="integrated")
+        deposit_2d_auto(x, y, h, m, spec, projection="integrated")
     )
     cases.append(
         {
             "case": "auto adaptive-h integrated projection",
-            "precision": "bf16x2",
+            "precision": "bf16x3 (quality default)",
             "n_particles": n,
             "max_rel_err": float(np.abs(got - exp).max() / np.abs(exp).max()),
         }
