@@ -52,23 +52,31 @@ def main() -> None:
         write_snapshot(cache_dir, spec)
         print(f"wrote synthetic snapshot ({n_gas:.0e} gas): {time.perf_counter() - t0:.1f}s")
 
-    t_total = time.perf_counter()
-    snap = SnapshotEAGLE(first_file)
-    stack = render_map_stack(
-        snap,
-        fields=("density", "temperature", "metallicity"),
-        particle_type=ParticleType.gas,
-        resolution=1024,
-        engine="pallas",
-    )
-    # force full materialisation
-    for name in stack.keys():
-        np.asarray(stack[name])
-    wall = time.perf_counter() - t_total
+    # two passes: the first pays axon per-process program preparation and
+    # cold caches; the second is the steady-state number (the verify notes'
+    # "warm process" rule). H2D through the tunnel (45-950 MB/s across the
+    # day) still rides inside the deposit phase either way.
+    for label in ("cold", "steady"):
+        t_total = time.perf_counter()
+        snap = SnapshotEAGLE(first_file)
+        stack = render_map_stack(
+            snap,
+            fields=("density", "temperature", "metallicity"),
+            particle_type=ParticleType.gas,
+            resolution=1024,
+            engine="pallas",
+        )
+        # force full materialisation
+        for name in stack.keys():
+            np.asarray(stack[name])
+        wall = time.perf_counter() - t_total
 
-    print(f"end-to-end snapshot->3-field 1024^2 map stack: {wall:.2f}s for {n_gas:.0e} gas particles")
-    for phase, secs in stack.timings.items():
-        print(f"  {phase:<10s} {secs:.2f}s")
+        print(
+            f"[{label}] end-to-end snapshot->3-field 1024^2 map stack: "
+            f"{wall:.2f}s for {n_gas:.0e} gas particles"
+        )
+        for phase, secs in stack.timings.items():
+            print(f"  {phase:<10s} {secs:.2f}s")
     print(f"maps: {sorted(stack.keys())}")
 
 
