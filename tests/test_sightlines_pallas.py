@@ -124,3 +124,26 @@ def test_row_spanning_blocks_and_ragged_rays():
         ref = column_integrate(x, y, h, v, rx, ry, periodic_box=pb)
         got = column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=pb)
         assert _rel(got, ref) < 3e-6
+
+
+def test_rays_in_empty_regions_zero():
+    """Ray blocks whose cells hold no particles must come back exactly zero:
+    each block's anchor unit gets a forced zeroing step even when its spans
+    are all empty (`_compact_units` keeps unit 0; on hardware the accumulator
+    would otherwise hold garbage)."""
+    rng = np.random.default_rng(7)
+    box = 20.0
+    n = 20000
+    # all particles confined to the left quarter of the box, small h
+    x = rng.uniform(0, box / 4, n)
+    y = rng.uniform(0, box, n)
+    h = rng.uniform(0.05, 0.2, n)
+    v = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    # rays far to the right: empty cells at every level
+    rx = rng.uniform(3 * box / 4, box - 1.0, 500)
+    ry = rng.uniform(1.0, box - 1.0, 500)
+    got = np.asarray(column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box))
+    assert np.all(got == 0.0)
+    # non-periodic too (different span construction)
+    got2 = np.asarray(column_integrate_pallas(x, y, h, v, rx, ry))
+    assert np.all(got2 == 0.0)
