@@ -124,13 +124,18 @@ def _run() -> None:
 
     # a host round-trip (not just block_until_ready, which the axon tunnel
     # has been observed to satisfy early) closes the timed window; one
-    # round-trip for all iterations keeps tunnel latency out of the rate
+    # round-trip for all iterations keeps tunnel latency out of the rate.
+    # Best of 3 windows: the tunnel intermittently stalls dispatch for
+    # hundreds of ms, which a single window folds into the rate (observed
+    # 66-83M deposits/s scatter for identical programs across a day).
     iters = 3 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render()
-    checksum = float(out[0].sum())
-    dt = (time.perf_counter() - t0) / iters
+    dt = 1e30
+    for _ in range(3 if on_tpu else 1):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = render()
+        checksum = float(out[0].sum())
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     deposits_per_sec = n / dt
 
     # secondary: the adaptive-h device pipeline (multi-level tile sort +
@@ -159,10 +164,12 @@ def _run() -> None:
 
             out_a = render_adaptive()
             jax.block_until_ready(out_a)  # compile/load
-            t0 = time.perf_counter()
-            out_a = render_adaptive()
-            _ = float(out_a[0].sum())
-            dt_a = time.perf_counter() - t0
+            dt_a = 1e30
+            for _ in range(3):  # best of 3 (tunnel dispatch stalls)
+                t0 = time.perf_counter()
+                out_a = render_adaptive()
+                _ = float(out_a[0].sum())
+                dt_a = min(dt_a, time.perf_counter() - t0)
             adaptive = {
                 "adaptive_deposits_per_sec": round(n / dt_a, 1),
                 "adaptive_wall_clock_s": round(dt_a, 4),
