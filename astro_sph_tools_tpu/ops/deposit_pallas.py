@@ -981,12 +981,13 @@ def _deposit_level_from_layout(
       jnp.int32(lo), jnp.int32(count))
 
 
-@lru_cache(maxsize=512)
-def _cached_layout_level(
+def _layout_level_body(
     geom, shape, extent, periodic, offset, n_fields,
-    kernel, support_factor, precision, interpret, bucket,
-    projection="kernel3d",
+    kernel, support_factor, precision, interpret, bucket, projection,
+    su, sv, sh, s_values, s_tile, lo, count,
 ):
+    """Traced body: render one level from the sorted layout (gather the
+    level's bucketed segment, run the flat-grid Pallas pass, overlap-add)."""
     C = _CHUNK
     cfg, tx = geom.cfg, geom.tx
     ny, nx = shape
@@ -997,41 +998,80 @@ def _cached_layout_level(
     n_tiles = geom.n_tiles
     n_steps = n_rows + 2 * n_tiles
 
+    # contiguous dynamic_slice reads (the layout arrays carry 2N slack so
+    # lo + bucket never overruns); a clipped-index gather here cost ~6 s
+    # at 33M particles on v5e
+    live = jnp.arange(bucket, dtype=jnp.int32) < count
+    u = jax.lax.dynamic_slice(su, (lo,), (bucket,))
+    v = jax.lax.dynamic_slice(sv, (lo,), (bucket,))
+    h = jnp.where(live, jax.lax.dynamic_slice(sh, (lo,), (bucket,)), 1.0)
+    vals = jnp.where(
+        live[None, :],
+        jax.lax.dynamic_slice(s_values, (0, lo), (s_values.shape[0], bucket)),
+        0.0,
+    )
+    # pad slots sort to a synthetic tile past the last so ranges stay sorted
+    tile = jnp.where(
+        live,
+        jax.lax.dynamic_slice(s_tile, (lo,), (bucket,)),
+        n_tiles,
+    ).astype(jnp.int32)
+
+    pstart, pcount, block_start, nchunks = _tile_ranges(tile, n_tiles, C)
+    sched, tile_off = _step_schedule(nchunks, n_tiles, n_steps)
+    packed = _pack_channels(
+        [u, v, h] + [vals[f] for f in range(n_fields)], n_fields, n_rows, C
+    )
+    tiles = _cached_deposit_call(
+        cfg, geom.n_tiles_x, geom.n_tiles_y, n_steps, n_rows, n_fields, tx,
+        kernel, support_factor, psx, psy, offset, precision, interpret,
+        projection,
+    )(sched, block_start, tile_off, pstart, pcount, packed)
+    return _overlap_add(
+        tiles, cfg, tx, geom.n_tiles_y, geom.n_tiles_x, n_fields, ny, nx,
+        periodic,
+    )
+
+
+@lru_cache(maxsize=512)
+def _cached_layout_level(
+    geom, shape, extent, periodic, offset, n_fields,
+    kernel, support_factor, precision, interpret, bucket,
+    projection="kernel3d",
+):
     @jax.jit
     def run(su, sv, sh, s_values, s_tile, lo, count):
-        # contiguous dynamic_slice reads (the layout arrays carry 2N slack so
-        # lo + bucket never overruns); a clipped-index gather here cost ~6 s
-        # at 33M particles on v5e
-        live = jnp.arange(bucket, dtype=jnp.int32) < count
-        u = jax.lax.dynamic_slice(su, (lo,), (bucket,))
-        v = jax.lax.dynamic_slice(sv, (lo,), (bucket,))
-        h = jnp.where(live, jax.lax.dynamic_slice(sh, (lo,), (bucket,)), 1.0)
-        vals = jnp.where(
-            live[None, :],
-            jax.lax.dynamic_slice(s_values, (0, lo), (s_values.shape[0], bucket)),
-            0.0,
+        return _layout_level_body(
+            geom, shape, extent, periodic, offset, n_fields, kernel,
+            support_factor, precision, interpret, bucket, projection,
+            su, sv, sh, s_values, s_tile, lo, count,
         )
-        # pad slots sort to a synthetic tile past the last so ranges stay sorted
-        tile = jnp.where(
-            live,
-            jax.lax.dynamic_slice(s_tile, (lo,), (bucket,)),
-            n_tiles,
-        ).astype(jnp.int32)
 
-        pstart, pcount, block_start, nchunks = _tile_ranges(tile, n_tiles, C)
-        sched, tile_off = _step_schedule(nchunks, n_tiles, n_steps)
-        packed = _pack_channels(
-            [u, v, h] + [vals[f] for f in range(n_fields)], n_fields, n_rows, C
-        )
-        tiles = _cached_deposit_call(
-            cfg, geom.n_tiles_x, geom.n_tiles_y, n_steps, n_rows, n_fields, tx,
-            kernel, support_factor, psx, psy, offset, precision, interpret,
-            projection,
-        )(sched, block_start, tile_off, pstart, pcount, packed)
-        return _overlap_add(
-            tiles, cfg, tx, geom.n_tiles_y, geom.n_tiles_x, n_fields, ny, nx,
-            periodic,
-        )
+    return run
+
+
+@lru_cache(maxsize=256)
+def _cached_layout_all_levels(
+    metas_static, shape, extent, periodic, offset, n_fields,
+    kernel, support_factor, precision, interpret, projection,
+):
+    """ONE jitted program rendering every populated level and summing the
+    maps. Separate per-level programs each pay the execution-dispatch
+    round-trip (60-100 ms through the axon tunnel — a K=64 level with 2k
+    particles measured 0.11 s); fusing all levels into a single program
+    makes the adaptive stack one dispatch."""
+
+    @jax.jit
+    def run(su, sv, sh, s_values, s_tile, los, counts):
+        ny, nx = shape
+        total = jnp.zeros((n_fields, ny, nx), jnp.float32)
+        for i, (geom, bucket) in enumerate(metas_static):
+            total = total + _layout_level_body(
+                geom, shape, extent, periodic, offset, n_fields, kernel,
+                support_factor, precision, interpret, bucket, projection,
+                su, sv, sh, s_values, s_tile, los[i], counts[i],
+            )
+        return total
 
     return run
 
@@ -1051,11 +1091,20 @@ def deposit_tiled(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ny, nx = tp.spec.shape
-    total = jnp.zeros((tp.n_fields, ny, nx), jnp.float32)
-    for meta in tp.geoms:
-        total = total + _deposit_level_from_layout(
-            tp, meta, precision, interpret, projection
-        )
+    if tp.geoms:
+        metas_static = tuple((meta[0], meta[2]) for meta in tp.geoms)
+        los = jnp.asarray([int(meta[1]) for meta in tp.geoms], jnp.int32)
+        counts = jnp.asarray([int(meta[3]) for meta in tp.geoms], jnp.int32)
+        total = _cached_layout_all_levels(
+            metas_static, tp.spec.shape,
+            tuple(float(e) for e in tp.spec.extent), tp.spec.periodic_wrap,
+            tp.spec.sample_offset, tp.n_fields, tp.kernel,
+            get_kernel(tp.kernel).support_factor, precision, interpret,
+            projection,
+        )(tp.sorted_u, tp.sorted_v, tp.sorted_h, tp.sorted_values,
+          tp.sorted_tile, los, counts)
+    else:
+        total = jnp.zeros((tp.n_fields, ny, nx), jnp.float32)
 
     if tp.n_oversize:
         from .deposit import deposit_2d  # late import: sibling module
