@@ -165,7 +165,8 @@ def _cached_prep(grids, n_fields: int, support_factor: float, periodic: bool):
 # ---------------------------------------------------------------------------
 
 
-def _level_schedule(r_rows, r_cols, cells, ncx: int, ncy: int, periodic: bool):
+def _level_schedule(r_rows, r_cols, cells, ncx: int, ncy: int, periodic: bool,
+                    B: int = _B):
     """Per-unit (lo, hi) sorted-particle spans for one level's ray blocks:
     ``_U`` units per block.
 
@@ -178,9 +179,9 @@ def _level_schedule(r_rows, r_cols, cells, ncx: int, ncy: int, periodic: bool):
 
     ``cells`` is the level's per-cell boundary table (ncx*ncy + 1,).
     """
-    nb = r_rows.shape[0] // _B
-    rr = r_rows.reshape(nb, _B).astype(np.int64)
-    rc = r_cols.reshape(nb, _B).astype(np.int64)
+    nb = r_rows.shape[0] // B
+    rr = r_rows.reshape(nb, B).astype(np.int64)
+    rc = r_cols.reshape(nb, B).astype(np.int64)
     r0, r1 = rr[:, 0], rr[:, -1]  # rows are non-decreasing within a block
     cxlo = rc.min(axis=1) - 1
     cxhi = rc.max(axis=1) + 1

@@ -37,7 +37,6 @@ from ..kernels.splines import (
     integrated_kernel_chebyshev,
 )
 from .sightlines_pallas import (
-    _B,
     _C,
     _MAX_LEVELS,
     _UNIT_MASK,
@@ -53,6 +52,14 @@ from .sightlines_pallas import (
 from .spectra import doppler_parameter_kms
 
 Array = jax.Array
+
+# Rays per block. Unlike the sightline columns (B=8), the spectra kernel
+# builds a (C, n_bins) Gaussian profile PER STEP that is amortised over the
+# block's rays — larger blocks trade wider candidate windows (more scanned
+# particles) for n_bins-profile reuse and better MXU fill in the
+# (B, C) @ (C, n_bins) accumulation. v5e sweep at the config-4 shape:
+# B=8 1.9 s, B=16 1.31 s, B=32 1.23 s, B=64 2.3 s steady.
+_B = 32
 
 
 def _doppler_xp(xp, temperature, atomic_weight: float):
@@ -82,6 +89,7 @@ def _spectra_kernel(
     Lx: float,
     Ly: float,
     n_vel_images: int,
+    wrap_velocity: bool,
 ):
     s = pl.program_id(0)
     w0 = sched_ref[s]
@@ -132,10 +140,13 @@ def _spectra_kernel(
         ) * dv_bin + v0  # (C, n_bins)
         dv = bins - v_eff
         inv_b = 1.0 / b_dop
-        if n_vel_images:
-            # hot gas: Doppler widths can rival the box's velocity extent, so
-            # sum periodic velocity images (ops.spectra convention)
+        if wrap_velocity:
+            # periodic velocity space: wrap to the principal zone, then sum
+            # only the images the widest Gaussian can actually reach
+            # (n_vel_images is sized from b_max at call time — for typical
+            # Doppler widths it is 0 and phi is a single exp, not 7)
             dv = dv - jnp.round(dv * (1.0 / v_box)) * v_box
+        if n_vel_images:
             phi = jnp.zeros((_C, n_bins), jnp.float32)
             for k in range(-n_vel_images, n_vel_images + 1):
                 z = (dv + k * v_box) * inv_b
@@ -167,6 +178,7 @@ def _cached_spectra_engine(
     Lx: float,
     Ly: float,
     n_vel_images: int,
+    wrap_velocity: bool,
     n_rays: int,
     n_pop: int,
     nb: int,
@@ -205,6 +217,7 @@ def _cached_spectra_engine(
         Lx=Lx,
         Ly=Ly,
         n_vel_images=n_vel_images,
+        wrap_velocity=wrap_velocity,
     )
     call = pl.pallas_call(
         kern,
@@ -283,7 +296,16 @@ def absorption_spectra_pallas(
     v_centres = 0.5 * (v_edges[:-1] + v_edges[1:]).astype(np.float32)
     v0 = float(v_edges[0])
     dv_bin = float(v_edges[1] - v_edges[0])
-    n_vel_images = 3 if (periodic and v_box is not None) else 0
+    # periodic velocity space: after wrapping to the principal zone
+    # (|dv| <= v_box/2), image k peaks at best (k - 0.5) * v_box away, so
+    # only images with (k - 0.5) * v_box < 6 sigma_max matter (exp(-36)
+    # beyond). Typical Doppler widths need zero images - one exp, not 7.
+    wrap_velocity = periodic and v_box is not None
+    if wrap_velocity:
+        b_max = float(b_dopp.max()) if b_dopp.size else 1.0
+        n_vel_images = min(3, max(0, int(math.ceil(6.0 * b_max / v_box + 0.5)) - 1))
+    else:
+        n_vel_images = 0
 
     kspec = get_kernel(kernel)
     x = xp.asarray(pos[:, 0], xp.float32)
@@ -358,7 +380,7 @@ def absorption_spectra_pallas(
         r_cols[:n_rays] = rcx[rorder]
         lo, hi = _level_schedule(
             r_rows, r_cols, cells.astype(np.int64),
-            ncx, ncy, periodic,
+            ncx, ncy, periodic, B=_B,
         )
         lo, hi, blk = _compact_units(lo, hi, len(inv_orders) * nb)
         inv = np.empty(n_rays, np.int64)
@@ -383,7 +405,7 @@ def absorption_spectra_pallas(
 
     tau = _cached_spectra_engine(
         n_pop * nb, n_steps, n_bucket // _C, n_bins, kernel, periodic,
-        Lx, Ly, n_vel_images, n_rays, n_pop, nb, interpret,
+        Lx, Ly, n_vel_images, wrap_velocity, n_rays, n_pop, nb, interpret,
     )(
         jnp.asarray(sched), jnp.asarray(ub),
         jnp.asarray(unit_lo.astype(np.int32)),
