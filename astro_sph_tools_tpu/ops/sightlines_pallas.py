@@ -13,15 +13,21 @@ on the flat work-list architecture of :mod:`ops.deposit_pallas`:
    leaves every level's cell-rows contiguous. Channels are packed once into
    (rows, 8, C) chunk blocks over the whole sorted array — per-level ranges
    need no alignment because the pass masks each step to its [lo, hi) span.
-2. **Ray blocks**: rays are cell-sorted per level and processed in blocks of
-   ``B = 128``; a block's candidate span is the contiguous particle range of
-   its 1-ring cell rows (plus up to two periodic wrap spans).
+2. **Ray blocks**: rays are cell-sorted per level and processed in SMALL
+   blocks (``B = 8``); each block's candidate spans are the x-windowed
+   1-ring of its rays' cells — per wrapped row, the cell range
+   [cx_min - 1, cx_max + 1] plus an x-wrap span — read from the per-cell
+   boundary table. Small blocks with cell-granular windows are the
+   performance story: wide row-span blocks scanned ~50x more particles
+   than their rays could touch (0.6% of pair evaluations were inside
+   kernel support at the config-4 shape).
 3. **One Pallas pass** over a flat work-list covering ALL levels: one grid
-   step per (ray-block span, particle chunk); the schedule rides scalar
-   prefetch, the chunk DMA is pipelined, and each block's (B, 128)
-   accumulator stays VMEM-resident across its consecutive steps. Per step
-   the kernel evaluates the (B rays x C particles) impact-parameter block on
-   the VPU and reduces each field with an exact f32 lane reduction.
+   step per (ray-block span unit, particle chunk); the schedule rides scalar
+   prefetch (empty units compacted so the tables fit SMEM), the chunk DMA is
+   pipelined, and each block's (B, 128) accumulator stays VMEM-resident
+   across its consecutive steps. Per step the kernel evaluates the (B rays x
+   C particles) impact-parameter block on the VPU and reduces each field
+   with an exact f32 lane reduction.
 
 This replaces the ``lax.scan`` x ``fori_loop`` + ``dynamic_slice`` binned
 engine whose thousands of serialized, DMA-latency-bound steps took ~74 s at
