@@ -63,6 +63,21 @@ Array = jax.Array
 _CHUNK = 2048  # particles per Pallas grid step (v5e sweep: 1024 -> 80.1M
 # deposits/s, 2048 -> 83.4M, 4096 -> 83.7M on the 33.5M bench shape; 2048
 # takes ~all the step-overhead win at half the VMEM/compile cost of 4096)
+
+
+_PRECISIONS = ("f32", "bf16", "bf16x2", "bf16x3")
+
+
+def _check_precision(precision: str) -> str:
+    """Unknown strings must fail loudly: the kernel's if-chain would
+    otherwise silently treat a typo (or 'fp32') as bf16x2."""
+    if precision not in _PRECISIONS:
+        raise ValueError(
+            f"unknown precision {precision!r}; expected one of {_PRECISIONS}"
+        )
+    return precision
+
+
 _LANES = 128  # accumulator width S
 _TILE_MASK = (1 << 29) - 1  # schedule word: tile id | work bit << 29
 
@@ -626,6 +641,7 @@ def deposit_2d_pallas(
     callers should use :func:`deposit_2d_auto`. Returns (ny, nx) or (F, ny, nx).
     """
     cfg = level or PALLAS_LEVELS[0]
+    _check_precision(precision)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kspec = get_kernel(kernel)
@@ -785,6 +801,18 @@ def tile_particles(
             geoms.append(_level_geometry(cfg, spec))
         except ValueError:
             geoms.append(None)
+
+    # composite sort keys are level * _LEVEL_STRIDE + tile: a level whose
+    # tile count reaches the stride would silently alias into the next
+    # level's key range (possible from ~16k^2 maps up)
+    for g in geoms:
+        if g is not None and g.n_tiles >= _LEVEL_STRIDE:
+            raise ValueError(
+                f"{g.n_tiles} tiles at the K={g.cfg.K} level exceed the "
+                f"composite-key stride ({_LEVEL_STRIDE}); render this map "
+                "in sub-extents (the adaptive tile layout caps at "
+                "2^22 tiles per level)"
+            )
 
     bounds = tuple(
         (g.cfg.max_s_pix if g is not None else -1.0) for g in geoms
@@ -1088,6 +1116,7 @@ def deposit_tiled(
     stragglers (footprint > the largest K-window) fall back to the XLA dense
     path. Returns (F, ny, nx).
     """
+    _check_precision(precision)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ny, nx = tp.spec.shape
@@ -1152,6 +1181,7 @@ def deposit_2d_auto(
     """
     if precision is None:
         precision = "bf16x3" if _is_host_f64(x) else "bf16x2"
+    _check_precision(precision)
     values, single = _as_field_matrix(values)
     tp = tile_particles(x, y, h, values, spec, kernel=kernel)
     total = deposit_tiled(

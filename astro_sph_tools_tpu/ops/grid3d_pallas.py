@@ -85,6 +85,15 @@ PALLAS_3D_LEVELS: tuple[Pallas3DConfig, ...] = (
 )
 
 
+
+def _check_precision_3d(precision: str) -> str:
+    if precision not in ("f32", "bf16", "bf16x2"):
+        raise ValueError(
+            f"unknown precision {precision!r}; expected f32 | bf16 | bf16x2"
+        )
+    return precision
+
+
 def _deposit3d_kernel(
     # scalar prefetch (5): packed flat work-list (see deposit_pallas)
     sched_ref,  # (n_steps,) tile id | work bit << 29
@@ -427,6 +436,7 @@ def deposit_3d_pallas(
     level.max_s_vox``); use :func:`deposit_3d_auto` for mixed footprints.
     """
     cfg = level or PALLAS_3D_LEVELS[0]
+    _check_precision_3d(precision)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     periodic = (spec.periodic_wrap,) * 3

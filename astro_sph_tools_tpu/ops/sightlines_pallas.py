@@ -292,6 +292,77 @@ def _build_schedule(unit_lo, unit_hi, unit_blk):
 # ---------------------------------------------------------------------------
 
 
+# schedule-word capacity: the unit index rides bits [0, _WORK_BIT); larger
+# ray sets are processed in batches at the public entry points
+_MAX_UNITS = 1 << _WORK_BIT
+_RAY_BATCH = 1 << 20  # per-batch ray cap (worst case ~7.9M units < 2^24)
+
+
+def _stage_ray_levels(rays, grids, bounds, x0, y0, Lx, Ly, periodic, B, n_rays):
+    """Per populated level: cell-sort the rays and build the compacted
+    x-windowed unit spans (shared by the columns and spectra engines).
+
+    Returns (rorders, rx_blocks, ry_blocks, unit_lo, unit_hi, unit_blk, nb)
+    with rorders the per-level ray sort orders, the ray blocks stacked over
+    levels, and the unit tables concatenated in schedule order; rorders is
+    empty when no level holds particles.
+    """
+    nb = max(1, (n_rays + B - 1) // B)
+    if n_rays == 0:
+        return [], None, None, None, None, None, nb
+    r_pad = nb * B
+    rorders = []
+    rx_parts, ry_parts, lo_parts, hi_parts, blk_parts = [], [], [], [], []
+    boff = 0
+    for l in range(_MAX_LEVELS):
+        ncx, ncy = grids[l]
+        cells = bounds[boff : boff + ncx * ncy + 1]
+        boff += ncx * ncy + 1
+        if int(cells[-1] - cells[0]) == 0:
+            continue
+        rcx = np.clip(((rays[0] - x0) * (ncx / Lx)).astype(np.int64), 0, ncx - 1)
+        rcy = np.clip(((rays[1] - y0) * (ncy / Ly)).astype(np.int64), 0, ncy - 1)
+        rorder = np.argsort(rcy * ncx + rcx, kind="stable")
+        rx_s = np.full(r_pad, rays[0][rorder[-1]], np.float32)
+        ry_s = np.full(r_pad, rays[1][rorder[-1]], np.float32)
+        rx_s[:n_rays] = rays[0][rorder]
+        ry_s[:n_rays] = rays[1][rorder]
+        r_rows = np.full(r_pad, rcy[rorder[-1]], np.int64)
+        r_rows[:n_rays] = rcy[rorder]
+        r_cols = np.full(r_pad, rcx[rorder[-1]], np.int64)
+        r_cols[:n_rays] = rcx[rorder]
+        lo, hi = _level_schedule(
+            r_rows, r_cols, cells.astype(np.int64), ncx, ncy, periodic, B=B
+        )
+        lo, hi, blk = _compact_units(lo, hi, len(rorders) * nb)
+        rorders.append(rorder)
+        rx_parts.append(rx_s.reshape(nb, B))
+        ry_parts.append(ry_s.reshape(nb, B))
+        lo_parts.append(lo)
+        hi_parts.append(hi)
+        blk_parts.append(blk)
+    if not rorders:
+        return [], None, None, None, None, None, nb
+    unit_lo = np.concatenate(lo_parts)
+    unit_hi = np.concatenate(hi_parts)
+    unit_blk = np.concatenate(blk_parts)
+    if unit_lo.shape[0] >= _MAX_UNITS:  # pragma: no cover - capacity guard
+        raise ValueError(
+            f"{unit_lo.shape[0]} schedule units exceed the {_MAX_UNITS} "
+            "unit-index capacity; batch the rays (the public entry points "
+            f"do this automatically at {_RAY_BATCH} rays per pass)"
+        )
+    return (
+        rorders,
+        np.concatenate(rx_parts),
+        np.concatenate(ry_parts),
+        unit_lo,
+        unit_hi,
+        unit_blk,
+        nb,
+    )
+
+
 def _columns_kernel(
     sched_ref, ub_ref, ulo_ref, uhi_ref, uoff_ref,  # scalar prefetch
     rays_ref,  # (1, 2, B, 128): [0] = ray x (lane-broadcast), [1] = ray y
@@ -362,10 +433,14 @@ def _cached_engine(
     periodic: bool,
     Lx: float,
     Ly: float,
+    n_pop: int,
+    nb: int,
+    n_rays: int,
     interpret: bool,
 ):
     """One jitted program: ray-block broadcast + the fused Pallas pass over
-    every level's work list + the field-lane slice."""
+    every level's work list + the device-side per-level unsort-and-sum (a
+    host unsort would force a sync per call and serialize sharded loops)."""
     cheb = (
         integrated_kernel_chebyshev(kernel_name)
         if projection == "integrated"
@@ -412,12 +487,16 @@ def _cached_engine(
     )
 
     @jax.jit
-    def run(sched, ub, ulo, uhi, uoff, rx, ry, packed):
+    def run(sched, ub, ulo, uhi, uoff, rx, ry, packed, inv_orders):
         # rx, ry: (n_blocks, B) -> lane-broadcast ray blocks on device
         rays = jnp.stack([rx, ry], axis=1)[..., None]  # (n_blocks, 2, B, 1)
         rays = jnp.broadcast_to(rays, (n_blocks, 2, _B, 128))
         out = call(sched, ub, ulo, uhi, uoff, rays, packed)
-        return out[:, :, :n_fields]
+        out = out[:, :, :n_fields].reshape(n_pop, nb * _B, n_fields)
+        totals = jnp.zeros((n_rays, n_fields), jnp.float32)
+        for i in range(n_pop):
+            totals = totals + jnp.take(out[i], inv_orders[i], axis=0)
+        return totals.T  # (F, n_rays)
 
     return run
 
@@ -440,6 +519,25 @@ def column_integrate_pallas(
     Matches :func:`ops.sightlines.column_integrate`; ``values`` (N,) or
     (N, F) with F <= 5; returns (R,) or (F, R).
     """
+    n_rays_in = np.asarray(ray_x).shape[0]
+    if n_rays_in == 0:
+        v = np.asarray(values)
+        zero = jnp.zeros((0,) if v.ndim == 1 else (v.shape[1], 0), jnp.float32)
+        return zero
+    if n_rays_in > _RAY_BATCH:
+        # schedule unit indices ride 24 bits; huge ray sets batch cleanly
+        # (columns are independent per ray)
+        parts = [
+            column_integrate_pallas(
+                x, y, h, values,
+                np.asarray(ray_x)[i : i + _RAY_BATCH],
+                np.asarray(ray_y)[i : i + _RAY_BATCH],
+                kernel=kernel, projection=projection,
+                periodic_box=periodic_box, interpret=interpret,
+            )
+            for i in range(0, n_rays_in, _RAY_BATCH)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # device-resident fast path: jax-array particle inputs stay on device
@@ -492,65 +590,33 @@ def column_integrate_pallas(
     )(jnp.asarray(x), jnp.asarray(y), jnp.asarray(h_np), jnp.asarray(values), extent)
     bounds = np.asarray(bounds)
 
-    # per-level row tables -> ray sort -> unit spans; all levels share one
-    # schedule / one Pallas launch
-    nb = max(1, (n_rays + _B - 1) // _B)
+    # per-level cell tables -> ray sort -> compacted unit spans; all levels
+    # share one schedule / one Pallas launch; results unsort on device
+    rorders, rx_blocks, ry_blocks, unit_lo, unit_hi, unit_blk, nb = (
+        _stage_ray_levels(
+            rays, grids, bounds, x0, y0, Lx, Ly,
+            periodic_box is not None, _B, n_rays,
+        )
+    )
+    if not rorders:
+        zero = jnp.zeros((n_fields, n_rays), jnp.float32)
+        return zero[0] if single else zero
+    sched, uoff, n_steps = _build_schedule(unit_lo, unit_hi, unit_blk)
+    n_pop = len(rorders)
     r_pad = nb * _B
-    level_meta = []  # (rorder,) per populated level, in block order
-    rx_parts, ry_parts, lo_parts, hi_parts, blk_parts = [], [], [], [], []
-    boff = 0
-    for l in range(_MAX_LEVELS):
-        ncx, ncy = grids[l]
-        cells = bounds[boff : boff + ncx * ncy + 1]
-        boff += ncx * ncy + 1
-        if int(cells[-1] - cells[0]) == 0:
-            continue
-        rcx = np.clip(((rays[0] - x0) * (ncx / Lx)).astype(np.int64), 0, ncx - 1)
-        rcy = np.clip(((rays[1] - y0) * (ncy / Ly)).astype(np.int64), 0, ncy - 1)
-        rorder = np.argsort(rcy * ncx + rcx, kind="stable")
-        rx_s = np.full(r_pad, rays[0][rorder[-1]], np.float32)
-        ry_s = np.full(r_pad, rays[1][rorder[-1]], np.float32)
-        rx_s[:n_rays] = rays[0][rorder]
-        ry_s[:n_rays] = rays[1][rorder]
-        r_rows = np.full(r_pad, rcy[rorder[-1]], np.int64)
-        r_rows[:n_rays] = rcy[rorder]
-        r_cols = np.full(r_pad, rcx[rorder[-1]], np.int64)
-        r_cols[:n_rays] = rcx[rorder]
-        lo, hi = _level_schedule(
-            r_rows, r_cols, cells.astype(np.int64),
-            ncx, ncy, periodic_box is not None,
-        )
-        lo, hi, blk = _compact_units(lo, hi, len(level_meta) * nb)
-        level_meta.append(rorder)
-        rx_parts.append(rx_s.reshape(nb, _B))
-        ry_parts.append(ry_s.reshape(nb, _B))
-        lo_parts.append(lo)
-        hi_parts.append(hi)
-        blk_parts.append(blk)
-
-    totals = np.zeros((n_fields, n_rays), np.float32)
-    if level_meta:
-        unit_lo = np.concatenate(lo_parts)
-        unit_hi = np.concatenate(hi_parts)
-        unit_blk = np.concatenate(blk_parts)
-        sched, uoff, n_steps = _build_schedule(unit_lo, unit_hi, unit_blk)
-        n_pop = len(level_meta)
-        ub = unit_blk.astype(np.int32)
-        out = _cached_engine(
-            n_pop * nb, n_steps, n_bucket // _C, n_fields, kernel, projection,
-            periodic_box is not None, Lx, Ly, interpret,
-        )(
-            jnp.asarray(sched), jnp.asarray(ub),
-            jnp.asarray(unit_lo.astype(np.int32)),
-            jnp.asarray(unit_hi.astype(np.int32)), jnp.asarray(uoff),
-            jnp.asarray(np.concatenate(rx_parts)),
-            jnp.asarray(np.concatenate(ry_parts)),
-            packed,
-        )
-        out = np.asarray(out)  # (n_pop * nb, B, F)
-        for i, rorder in enumerate(level_meta):
-            flat = out[i * nb : (i + 1) * nb].reshape(r_pad, n_fields)[:n_rays]
-            totals[:, rorder] += flat.T
-
-    result = jnp.asarray(totals)
+    inv_orders = np.zeros((n_pop, max(n_rays, 1)), np.int32)
+    for i, rorder in enumerate(rorders):
+        inv = np.empty(n_rays, np.int64)
+        inv[rorder] = np.arange(n_rays)
+        inv_orders[i, :n_rays] = inv
+    result = _cached_engine(
+        n_pop * nb, n_steps, n_bucket // _C, n_fields, kernel, projection,
+        periodic_box is not None, Lx, Ly, n_pop, nb, n_rays, interpret,
+    )(
+        jnp.asarray(sched), jnp.asarray(unit_blk.astype(np.int32)),
+        jnp.asarray(unit_lo.astype(np.int32)),
+        jnp.asarray(unit_hi.astype(np.int32)), jnp.asarray(uoff),
+        jnp.asarray(rx_blocks), jnp.asarray(ry_blocks),
+        packed, jnp.asarray(inv_orders),
+    )
     return result[0] if single else result

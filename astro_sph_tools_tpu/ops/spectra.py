@@ -47,10 +47,15 @@ _RAY_MACRO = 256
 _MACRO_BATCH = 1 << 19
 
 
-def doppler_parameter_kms(temperature_K, atomic_weight: float) -> np.ndarray:
-    """b = sqrt(2 k_B T / m) in km/s for an ion of the given atomic weight."""
+def doppler_parameter_kms(temperature_K, atomic_weight: float):
+    """b = sqrt(2 k_B T / m) in km/s for an ion of the given atomic weight.
+
+    Namespace-aware: jax-array temperatures stay on device (numpy would
+    silently convert them via __array__, forcing a device-to-host sync)."""
+    xp = jnp if isinstance(temperature_K, jax.Array) else np
+    t = xp.asarray(temperature_K)
     m = atomic_weight * C.ATOMIC_MASS_UNIT_CGS
-    return np.sqrt(2.0 * C.BOLTZMANN_CONSTANT_CGS * np.asarray(temperature_K) / m) / 1.0e5
+    return xp.sqrt(2.0 * C.BOLTZMANN_CONSTANT_CGS * t / m) / 1.0e5
 
 
 @partial(

@@ -36,20 +36,19 @@ from ..kernels.splines import (
     get_kernel,
     integrated_kernel_chebyshev,
 )
+from .spectra import doppler_parameter_kms
 from .sightlines_pallas import (
     _C,
-    _MAX_LEVELS,
+    _RAY_BATCH,
     _UNIT_MASK,
     _WORK_BIT,
     _ZERO_BIT,
     _build_schedule,
     _cached_prep,
     _choose_grids,
-    _compact_units,
-    _level_schedule,
     _next_pow2,
+    _stage_ray_levels,
 )
-from .spectra import doppler_parameter_kms
 
 Array = jax.Array
 
@@ -60,14 +59,6 @@ Array = jax.Array
 # (B, C) @ (C, n_bins) accumulation. v5e sweep at the config-4 shape:
 # B=8 1.9 s, B=16 1.31 s, B=32 1.23 s, B=64 2.3 s steady.
 _B = 32
-
-
-def _doppler_xp(xp, temperature, atomic_weight: float):
-    """`doppler_parameter_kms` over the caller's array namespace (np or jnp)."""
-    from .. import constants as C
-
-    m = atomic_weight * C.ATOMIC_MASS_UNIT_CGS
-    return xp.sqrt(2.0 * C.BOLTZMANN_CONSTANT_CGS * temperature / m) / 1.0e5
 
 
 def _split_bf16(a):
@@ -261,6 +252,23 @@ def absorption_spectra_pallas(
     """Per-ray velocity-space spectra — :func:`ops.spectra.absorption_spectra`
     semantics on the fused Pallas pass. Returns (spectra (R, n_bins),
     velocity bin centres in km/s)."""
+    n_rays_in = np.asarray(ray_x).shape[0]
+    if n_rays_in > _RAY_BATCH:
+        # schedule unit indices ride 24 bits; huge ray sets batch cleanly
+        # (spectra rows are independent per ray)
+        taus = []
+        vc = None
+        for i in range(0, n_rays_in, _RAY_BATCH):
+            tau_i, vc = absorption_spectra_pallas(
+                pos, h, values, velocities_los, temperatures,
+                np.asarray(ray_x)[i : i + _RAY_BATCH],
+                np.asarray(ray_y)[i : i + _RAY_BATCH],
+                cosmology=cosmology, box_size=box_size,
+                atomic_weight=atomic_weight, n_bins=n_bins,
+                kernel=kernel, periodic=periodic, interpret=interpret,
+            )
+            taus.append(tau_i)
+        return jnp.concatenate(taus, axis=0), vc
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if n_bins % 128:
@@ -284,8 +292,10 @@ def absorption_spectra_pallas(
         dv_dx = 0.0
     v_eff = (pos[:, 2] * dv_dx + v_pec).astype(xp.float32)
     v_box = float(box_size * dv_dx) if (box_size is not None and dv_dx > 0) else None
+    # doppler_parameter_kms is pure ufunc math: numpy dispatches to jnp for
+    # jax-array inputs, so the device path reuses the oracle's formula
     b_dopp = xp.maximum(
-        _doppler_xp(xp, temperature, atomic_weight), 1e-3
+        doppler_parameter_kms(temperature, atomic_weight), 1e-3
     ).astype(xp.float32)
     if v_box is not None:
         v_edges = np.linspace(0.0, v_box, n_bins + 1)
@@ -311,6 +321,8 @@ def absorption_spectra_pallas(
     x = xp.asarray(pos[:, 0], xp.float32)
     y = xp.asarray(pos[:, 1], xp.float32)
     n_rays = np.asarray(ray_x).shape[0]
+    if n_rays == 0:
+        return jnp.zeros((0, n_bins), jnp.float32), v_centres
     rays = np.stack([np.asarray(ray_x, np.float64), np.asarray(ray_y, np.float64)])
 
     s_max = kspec.support_factor * float(h_np.max()) if h_np.size else 1.0
@@ -356,63 +368,30 @@ def absorption_spectra_pallas(
     )
     bounds = np.asarray(bounds)
 
-    nb = max(1, (n_rays + _B - 1) // _B)
-    r_pad = nb * _B
-    inv_orders, rx_parts, ry_parts = [], [], []
-    lo_parts, hi_parts, blk_parts = [], [], []
-    boff = 0
-    for l in range(_MAX_LEVELS):
-        ncx, ncy = grids[l]
-        cells = bounds[boff : boff + ncx * ncy + 1]
-        boff += ncx * ncy + 1
-        if int(cells[-1] - cells[0]) == 0:
-            continue
-        rcx = np.clip(((rays[0] - x0) * (ncx / Lx)).astype(np.int64), 0, ncx - 1)
-        rcy = np.clip(((rays[1] - y0) * (ncy / Ly)).astype(np.int64), 0, ncy - 1)
-        rorder = np.argsort(rcy * ncx + rcx, kind="stable")
-        rx_s = np.full(r_pad, rays[0][rorder[-1]], np.float32)
-        ry_s = np.full(r_pad, rays[1][rorder[-1]], np.float32)
-        rx_s[:n_rays] = rays[0][rorder]
-        ry_s[:n_rays] = rays[1][rorder]
-        r_rows = np.full(r_pad, rcy[rorder[-1]], np.int64)
-        r_rows[:n_rays] = rcy[rorder]
-        r_cols = np.full(r_pad, rcx[rorder[-1]], np.int64)
-        r_cols[:n_rays] = rcx[rorder]
-        lo, hi = _level_schedule(
-            r_rows, r_cols, cells.astype(np.int64),
-            ncx, ncy, periodic, B=_B,
-        )
-        lo, hi, blk = _compact_units(lo, hi, len(inv_orders) * nb)
-        inv = np.empty(n_rays, np.int64)
-        inv[rorder] = np.arange(n_rays)
-        inv_orders.append(inv.astype(np.int32))
-        rx_parts.append(rx_s.reshape(nb, _B))
-        ry_parts.append(ry_s.reshape(nb, _B))
-        lo_parts.append(lo)
-        hi_parts.append(hi)
-        blk_parts.append(blk)
-
-    if not inv_orders:
+    rorders, rx_blocks, ry_blocks, unit_lo, unit_hi, unit_blk, nb = (
+        _stage_ray_levels(rays, grids, bounds, x0, y0, Lx, Ly, periodic, _B, n_rays)
+    )
+    if not rorders:
         return jnp.zeros((n_rays, n_bins), jnp.float32), v_centres
 
-    unit_lo = np.concatenate(lo_parts)
-    unit_hi = np.concatenate(hi_parts)
-    unit_blk = np.concatenate(blk_parts)
     sched, uoff, n_steps = _build_schedule(unit_lo, unit_hi, unit_blk)
-    n_pop = len(inv_orders)
-    ub = unit_blk.astype(np.int32)
+    n_pop = len(rorders)
+    inv_orders = np.zeros((n_pop, max(n_rays, 1)), np.int32)
+    for i, rorder in enumerate(rorders):
+        inv = np.empty(n_rays, np.int64)
+        inv[rorder] = np.arange(n_rays)
+        inv_orders[i, :n_rays] = inv
     vparam = np.asarray([v0, dv_bin, v_box if v_box else 1.0], np.float32)
 
     tau = _cached_spectra_engine(
         n_pop * nb, n_steps, n_bucket // _C, n_bins, kernel, periodic,
         Lx, Ly, n_vel_images, wrap_velocity, n_rays, n_pop, nb, interpret,
     )(
-        jnp.asarray(sched), jnp.asarray(ub),
+        jnp.asarray(sched), jnp.asarray(unit_blk.astype(np.int32)),
         jnp.asarray(unit_lo.astype(np.int32)),
         jnp.asarray(unit_hi.astype(np.int32)), jnp.asarray(uoff),
         jnp.asarray(vparam),
-        jnp.asarray(np.concatenate(rx_parts)),
-        jnp.asarray(np.concatenate(ry_parts)),
-        packed, jnp.asarray(np.stack(inv_orders)),
+        jnp.asarray(rx_blocks), jnp.asarray(ry_blocks),
+        packed, jnp.asarray(inv_orders),
     )
     return tau, v_centres

@@ -208,3 +208,16 @@ def test_integrated_projection_matches_xla():
     refs = np.asarray(deposit_2d(x, y, hs, m, spec, projection="integrated"))
     gots = np.asarray(deposit_2d_pallas(x, y, hs, m, spec, projection="integrated"))
     assert np.abs(gots - refs).max() / np.abs(refs).max() < 2e-5
+
+
+def test_unknown_precision_rejected():
+    import pytest
+    from astro_sph_tools_tpu.ops.deposit import MapSpec
+    from astro_sph_tools_tpu.ops.deposit_pallas import deposit_2d_auto, deposit_2d_pallas
+
+    spec = MapSpec(shape=(64, 64), extent=(0.0, 1.0, 0.0, 1.0))
+    x = np.array([0.5]); h = np.array([0.05]); m = np.array([1.0])
+    with pytest.raises(ValueError, match="unknown precision"):
+        deposit_2d_pallas(x, x, h, m, spec, precision="fp32")
+    with pytest.raises(ValueError, match="unknown precision"):
+        deposit_2d_auto(x, x, h, m, spec, precision="bf16x22")

@@ -147,3 +147,14 @@ def test_rays_in_empty_regions_zero():
     # non-periodic too (different span construction)
     got2 = np.asarray(column_integrate_pallas(x, y, h, v, rx, ry))
     assert np.all(got2 == 0.0)
+
+
+def test_zero_rays():
+    """Empty ray input returns an empty result (the dense engine's shape)
+    instead of crashing on an empty argsort."""
+    x, y, h, v, _, _, box = _data(n=2000, rays=5)
+    empty = np.array([], np.float64)
+    got = column_integrate_pallas(x, y, h, v, empty, empty, periodic_box=box)
+    assert np.asarray(got).shape == (3, 0)
+    got1 = column_integrate_pallas(x, y, h, v[:, 0], empty, empty)
+    assert np.asarray(got1).shape == (0,)

@@ -60,3 +60,17 @@ def test_rejects_unaligned_bins():
         absorption_spectra_pallas(
             pos, h, vals, vpec, T, rx, ry, box_size=box, n_bins=300
         )
+
+
+def test_zero_rays_spectra():
+    rng = np.random.default_rng(0)
+    box, n = 8.0, 2000
+    pos = rng.uniform(0, box, (n, 3))
+    h = rng.uniform(0.1, 0.5, n)
+    val = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    vel = rng.normal(0, 50, n).astype(np.float32)
+    T = rng.uniform(1e4, 1e5, n).astype(np.float32)
+    empty = np.array([], np.float64)
+    tau, vc = absorption_spectra_pallas(pos, h, val, vel, T, empty, empty,
+                                        box_size=box, n_bins=128)
+    assert np.asarray(tau).shape == (0, 128) and vc.shape == (128,)
