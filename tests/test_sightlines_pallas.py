@@ -158,3 +158,18 @@ def test_zero_rays():
     assert np.asarray(got).shape == (3, 0)
     got1 = column_integrate_pallas(x, y, h, v[:, 0], empty, empty)
     assert np.asarray(got1).shape == (0,)
+
+
+def test_ray_batching_matches_single_pass(monkeypatch):
+    """The >_RAY_BATCH path splits rays into batches; force a tiny batch and
+    check batched == unbatched (per-ray independence)."""
+    import astro_sph_tools_tpu.ops.sightlines_pallas as sp
+
+    x, y, h, v, rx, ry, box = _data(n=15000, rays=301)
+    whole = np.asarray(column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box))
+    monkeypatch.setattr(sp, "_RAY_BATCH", 100)
+    batched = np.asarray(
+        sp.column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box)
+    )
+    assert batched.shape == whole.shape
+    np.testing.assert_allclose(batched, whole, rtol=0, atol=1e-6 * np.abs(whole).max())
