@@ -7,6 +7,9 @@ from .interface import (
     ISimulation,
     ISimulationData,
     SimulationDataBase,
+    SimType_EAGLE,
+    SimType_SWIFT,
+    SimType_TNG,
     ensure_not_interface,
 )
 from .ionisation import IIonisationTable, IonisationTableBase
@@ -18,6 +21,9 @@ __all__ = [
     "Interface",
     "IonisationTableBase",
     "SimulationDataBase",
+    "SimType_EAGLE",
+    "SimType_SWIFT",
+    "SimType_TNG",
     "ensure_not_interface",
     "ParticleType",
     "CoordinateAxes",

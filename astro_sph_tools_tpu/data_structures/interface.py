@@ -52,3 +52,15 @@ T_ISimulationData = TypeVar("T_ISimulationData", bound=ISimulationData)
 
 class SimulationDataBase(ISimulationData, Generic[T_ISimulation]):
     """Generic base for simulation-data readers (parity shim)."""
+
+
+class SimType_EAGLE(ISimulation):
+    """EAGLE simulation marker (`io/EAGLE/_sim_type.py:9`)."""
+
+
+class SimType_SWIFT(ISimulation):
+    """SWIFT simulation marker (`io/SWIFT/_sim_type.py:9`)."""
+
+
+class SimType_TNG(ISimulation):
+    """IllustrisTNG simulation marker (`io/TNG/_sim_type.py:9`)."""

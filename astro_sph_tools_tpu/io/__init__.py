@@ -20,7 +20,15 @@ from .catalogue import (
     TopHatSphericalOverdensityAperture,
 )
 from .eagle import EAGLE_MAX_GROUP_NUMBER, SnapshotEAGLE
-from .filetree import FileSetLeaf, FileTreeScraper_EAGLE, FileTreeScraperBase, TaggedFileSet
+from .filetree import (
+    FileSetLeaf,
+    FileTreeScraper_EAGLE,
+    FileTreeScraper_SWIFT,
+    FileTreeScraperBase,
+    TaggedFileSet,
+    discover_soap_catalogues,
+    discover_swift_snapshots,
+)
 from .los import (
     LineOfSightBase,
     LineOfSightEAGLE,
@@ -52,6 +60,9 @@ __all__ = [
     "FileSetLeaf",
     "FileTreeScraperBase",
     "FileTreeScraper_EAGLE",
+    "FileTreeScraper_SWIFT",
+    "discover_soap_catalogues",
+    "discover_swift_snapshots",
     "FixedRadiusAperture",
     "FOFGroup",
     "IApertureHalo",

@@ -354,21 +354,26 @@ class _NumberedFileSet(TaggedFileSet):
                 number = m.group("number")
                 if number in skip:
                     continue
+                # single-file schemes (e.g. SWIFT) have no parallel index
+                parallel = m.groupdict().get("parallel_index")
                 groups.setdefault(number, []).append(
-                    (int(m.group("parallel_index")), path)
+                    (int(parallel) if parallel is not None else 0, path)
                 )
-        self._leaves = []
+        leaves = []
         for number, entries in groups.items():
             entries.sort()
-            self._leaves.append(
+            leaves.append(
                 FileSetLeaf(
                     number=number,
-                    tag=number,  # no redshift encoded in TNG names
+                    tag=number,  # no redshift encoded in the filename
                     filepaths=tuple(p for _, p in entries),
                     loader=loader,
                 )
             )
-        self._leaves.sort(key=lambda leaf: leaf.number_numerical)
+        self._finish_init(leaves)
+
+    def _finish_init(self, leaves: list[FileSetLeaf]) -> None:
+        self._leaves = sorted(leaves, key=lambda leaf: leaf.number_numerical)
         self._by_number = {leaf.number: leaf for leaf in self._leaves}
         self._by_tag = {leaf.tag: leaf for leaf in self._leaves}
         self._redshift_cache: dict[str, float] = {}
@@ -378,7 +383,9 @@ class _NumberedFileSet(TaggedFileSet):
             import h5py
 
             with h5py.File(leaf.filepath, "r") as f:
-                self._redshift_cache[leaf.number] = float(f["Header"].attrs["Redshift"])
+                self._redshift_cache[leaf.number] = float(
+                    np.ravel(f["Header"].attrs["Redshift"])[0]
+                )
         return self._redshift_cache[leaf.number]
 
     def find_file_number_from_redshift(self, redshift: float) -> str:
@@ -482,6 +489,177 @@ def discover_swift_snapshots(directory: str) -> dict[str, list[str]]:
     for paths in found.values():
         paths.sort()
     return found
+
+
+_SWIFT_CATALOGUE = re.compile(
+    r".*[\\/](?P<stem>[\w\-]+?)_(?P<number>\d{3,4})(?:\.(?P<parallel_index>\d+))?\.hdf5$"
+)
+
+
+def discover_soap_catalogues(directory: str) -> dict[str, dict[str, list[str]]]:
+    """Find SOAP catalogue files grouped by output number.
+
+    The reference has no SOAP discovery (`CatalogueSOAP` paths are caller
+    supplied, `io/SWIFT/_CatalogueSOAP.py:31-36`); this classifies candidate
+    ``*_NNNN.hdf5`` files by content: files whose stem contains
+    "membership" are membership files, files with a ``VR`` group are
+    property catalogues. Returns ``{number: {"properties": [...],
+    "membership": [...]}}`` with only numbers that have a properties file.
+    """
+    import h5py
+
+    found: dict[str, dict[str, list[str]]] = {}
+    for root, _, files in os.walk(os.path.realpath(directory)):
+        for filename in files:
+            path = os.path.join(root, filename)
+            m = _SWIFT_CATALOGUE.match(path)
+            if not m:
+                continue
+            number = m.group("number")
+            entry = found.setdefault(number, {"properties": [], "membership": []})
+            if "membership" in m.group("stem").lower():
+                entry["membership"].append(path)
+                continue
+            try:
+                with h5py.File(path, "r") as f:
+                    if "VR" in f:
+                        entry["properties"].append(path)
+            except OSError:
+                continue
+    out = {}
+    for number, entry in found.items():
+        if entry["properties"]:
+            entry["properties"].sort()
+            entry["membership"].sort()
+            out[number] = entry
+    return out
+
+
+def _load_swift_snapshot(leaf: FileSetLeaf):
+    from .swift import SnapshotSWIFT
+
+    return SnapshotSWIFT(leaf.filepath)
+
+
+def _load_soap_catalogue(leaf: FileSetLeaf):
+    from .swift import CatalogueSOAP
+
+    if leaf.snapshot_leaf is None:
+        raise FileNotFoundError(
+            f"No SWIFT snapshot paired with catalogue number {leaf.number}."
+        )
+    snapshot = leaf.snapshot_leaf.load()
+    return CatalogueSOAP(
+        leaf.properties_filepath, leaf.membership_filepath, snapshot
+    )
+
+
+class _SwiftSnapshotFileSet(_NumberedFileSet):
+    """SWIFT snapshot leaves, content-validated: SOAP catalogue/membership
+    files match the same ``*_NNNN.hdf5`` naming, so candidates must prove a
+    ``Header`` + ``Cosmology`` HDF5 shape (cf. the reference validating via
+    ``sw.load``, `_SnapshotSWIFT.py:186-194`)."""
+
+    def __init__(self, directory: str, skip_numbers=None) -> None:
+        from .swift import SnapshotSWIFT
+
+        self._directory = os.path.realpath(directory)
+        self._kind = "snapshot"
+        skip = set(skip_numbers or ())
+        groups: dict[str, list[tuple[int, str]]] = {}
+        for root, _, files in os.walk(self._directory):
+            for filename in files:
+                path = os.path.join(root, filename)
+                m = _SWIFT_SNAPSHOT.match(path)
+                if not m or m.group("number") in skip:
+                    continue
+                if not SnapshotSWIFT._is_swift_snapshot_file(path):
+                    continue
+                parallel = m.group("parallel_index")
+                groups.setdefault(m.group("number"), []).append(
+                    (int(parallel) if parallel is not None else 0, path)
+                )
+        leaves = []
+        for number, entries in groups.items():
+            entries.sort()
+            leaves.append(
+                FileSetLeaf(
+                    number=number,
+                    tag=number,
+                    filepaths=tuple(p for _, p in entries),
+                    loader=_load_swift_snapshot,
+                )
+            )
+        self._finish_init(leaves)
+
+
+class _SwiftCatalogueFileSet(_NumberedFileSet):
+    """SOAP catalogue leaves; redshift comes from the paired snapshot."""
+
+    def __init__(self, directory: str, skip_numbers=None) -> None:
+        self._directory = os.path.realpath(directory)
+        self._kind = "catalogue"
+        skip = set(skip_numbers or ())
+        leaves = []
+        for number, entry in discover_soap_catalogues(self._directory).items():
+            if number in skip:
+                continue
+            leaves.append(
+                FileSetLeaf(
+                    number=number,
+                    tag=number,
+                    filepaths=tuple(entry["membership"]),
+                    secondary_filepaths=tuple(entry["properties"]),
+                    loader=_load_soap_catalogue,
+                )
+            )
+        self._finish_init(leaves)
+
+    def _leaf_redshift(self, leaf: FileSetLeaf) -> float:
+        if leaf.number not in self._redshift_cache:
+            import h5py
+
+            if leaf.snapshot_leaf is None:
+                raise FileNotFoundError(
+                    f"No SWIFT snapshot paired with catalogue number {leaf.number}."
+                )
+            with h5py.File(leaf.snapshot_leaf.filepath, "r") as f:
+                self._redshift_cache[leaf.number] = float(
+                    np.ravel(f["Header"].attrs["Redshift"])[0]
+                )
+        return self._redshift_cache[leaf.number]
+
+
+class FileTreeScraper_SWIFT(FileTreeScraperBase):
+    """SWIFT simulation directory index: snapshots + SOAP catalogues.
+
+    Capability replacement for the reference's broken SWIFT tree
+    (`io/SWIFT/_SWIFT.py:4-7` imports nonexistent modules); mirrors the
+    EAGLE/TNG scraper surface so the CLI tools can dispatch on it.
+    """
+
+    def __init__(self, filepath: str, skip_snapshot_numbers=None) -> None:
+        super().__init__({"root": filepath}, skip_snapshot_numbers, None)
+        skips = list(self.skipped_snapshot_numbers)
+        self._snapshots = _SwiftSnapshotFileSet(filepath, skips)
+        self._catalogues = _SwiftCatalogueFileSet(filepath, skips)
+        for leaf in self._catalogues:
+            try:
+                leaf.snapshot_leaf = self._snapshots.get_by_number(leaf.number)
+            except KeyError:
+                leaf.snapshot_leaf = None
+
+    @property
+    def directory(self) -> str:
+        return self.root_directories["root"]
+
+    @property
+    def snapshots(self) -> _NumberedFileSet:
+        return self._snapshots
+
+    @property
+    def catalogues(self) -> _SwiftCatalogueFileSet:
+        return self._catalogues
 
 
 class FileTreeScraper_EAGLE(FileTreeScraperBase):

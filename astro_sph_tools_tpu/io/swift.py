@@ -257,6 +257,170 @@ class SnapshotSWIFT(SnapshotBase):
         atomic_weight_g = C.ATOMIC_WEIGHTS[element] * C.ATOMIC_MASS_UNIT_CGS_REFERENCE
         return unit_array(rho.value * abundance / atomic_weight_g, "cm**-3")
 
+    # -- filepath generate/scrape utilities ---------------------------------
+    # Semantics follow `io/SWIFT/_SnapshotSWIFT.py:115-283`; candidates are
+    # validated by HDF5 header shape (h5py) rather than a full swiftsimio
+    # load, and the parallel-rank branch of generate_filepaths returns a
+    # {rank: path} dict as its signature documents (the reference calls
+    # os.path.abspath on a tuple there, which raises).
+
+    @staticmethod
+    def generate_filepaths(
+        *snapshot_number_strings: str,
+        directory: str,
+        basename: str,
+        file_extension: str = "hdf5",
+        parallel_ranks: Optional[list[int]] = None,
+    ) -> dict:
+        """Build snapshot filepaths from name components
+        (`_SnapshotSWIFT.py:115-134`). Returns {number: path} or, with
+        ``parallel_ranks``, {number: {rank: path}}."""
+        file_extension = file_extension.strip(".")
+        results: dict = {}
+        for num in snapshot_number_strings:
+            if parallel_ranks is None:
+                results[num] = os.path.abspath(
+                    os.path.join(directory, f"{basename}{num}.{file_extension}")
+                )
+            else:
+                results[num] = {
+                    p: os.path.abspath(
+                        os.path.join(directory, f"{basename}{num}.{p}.{file_extension}")
+                    )
+                    for p in parallel_ranks
+                }
+        return results
+
+    @staticmethod
+    def _is_swift_snapshot_file(path: str) -> bool:
+        try:
+            with h5py.File(path, "r") as f:
+                return "Header" in f and "Cosmology" in f
+        except OSError:
+            return False
+
+    @staticmethod
+    def scrape_filepaths(
+        directory: str,
+    ) -> tuple[tuple[str, tuple[str, ...], Optional[tuple[int, ...]], str], ...]:
+        """Identify snapshot naming-scheme groups in *directory*
+        (`_SnapshotSWIFT.py:136-204`): one entry per basename as
+        (basename, number strings, parallel ids or None, extension)."""
+        pattern = re.compile(
+            r"(?P<basename>[^/]+?)(?P<file_number>\d+)"
+            r"(?:\.(?P<parallel_id>(?:[1-9]\d*|0)))?\.(?P<extension>\w+)$"
+        )
+        file_groups: dict[str, dict] = {}
+        for filename in sorted(os.listdir(directory)):
+            m = pattern.match(filename)
+            if not m:
+                continue
+            basename = m.group("basename")
+            extension = m.group("extension")
+            if extension in ("siminfo", "units"):
+                continue
+            group = file_groups.setdefault(
+                basename,
+                {"extension": extension, "number_strings": [], "parallel_ids": None},
+            )
+            if extension != group["extension"]:
+                raise IOError(
+                    "Inconsistent file extension for snapshots with the same basename."
+                )
+            parallel_id = m.group("parallel_id")
+            if parallel_id is not None:
+                if len(group["number_strings"]) == 0:
+                    group["parallel_ids"] = []
+                elif group["parallel_ids"] is None:
+                    raise IOError(
+                        "Inconsistent parallel snapshot format for snapshots "
+                        "with the same basename."
+                    )
+                if int(parallel_id) not in group["parallel_ids"]:
+                    group["parallel_ids"].append(int(parallel_id))
+            if m.group("file_number") not in group["number_strings"]:
+                group["number_strings"].append(m.group("file_number"))
+
+        valid = []
+        for basename, group in file_groups.items():
+            parallel_component = (
+                "" if group["parallel_ids"] is None else f".{group['parallel_ids'][-1]}"
+            )
+            test_file = os.path.join(
+                directory,
+                f"{basename}{group['number_strings'][-1]}"
+                f"{parallel_component}.{group['extension']}",
+            )
+            if SnapshotSWIFT._is_swift_snapshot_file(test_file):
+                valid.append(basename)
+        return tuple(
+            (
+                basename,
+                tuple(file_groups[basename]["number_strings"]),
+                tuple(file_groups[basename]["parallel_ids"])
+                if file_groups[basename]["parallel_ids"] is not None
+                else None,
+                file_groups[basename]["extension"],
+            )
+            for basename in valid
+        )
+
+    @staticmethod
+    def generate_filepaths_from_partial_info(
+        directory: str,
+        basename: Optional[str] = None,
+        snapshot_number_strings: Optional[list[str]] = None,
+        file_extension: Optional[str] = None,
+        parallel_ranks: Optional[list[int]] = None,
+    ) -> dict:
+        """Scrape *directory* and narrow to one naming scheme
+        (`_SnapshotSWIFT.py:206-263`)."""
+        scraped = SnapshotSWIFT.scrape_filepaths(directory)
+        candidates = [
+            info
+            for info in scraped
+            if (basename is None or info[0] == basename)
+            and (file_extension is None or info[3] == file_extension)
+            and (parallel_ranks is None or info[2] is not None)
+        ]
+        if not candidates:
+            raise FileNotFoundError("No snapshots match the partial specification.")
+        if len(candidates) > 1:
+            raise IOError(
+                "Partial specification too general; more than one valid "
+                "snapshot basename detected."
+            )
+        info = candidates[0]
+        locations = SnapshotSWIFT.generate_filepaths(
+            *info[1],
+            directory=directory,
+            basename=info[0],
+            file_extension=info[3],
+            parallel_ranks=info[2] if parallel_ranks is None else parallel_ranks,
+        )
+        if snapshot_number_strings is not None:
+            missing = set(snapshot_number_strings) - set(locations)
+            if missing:
+                raise FileNotFoundError(
+                    "Snapshot numbers provided not all present in directory."
+                )
+            locations = {
+                k: v for k, v in locations.items() if k in snapshot_number_strings
+            }
+        if parallel_ranks is not None:
+            scraped_ranks = set(info[2] or ())
+            if not set(parallel_ranks) <= scraped_ranks:
+                raise FileNotFoundError(
+                    "Snapshot parallel chunk indexes provided not all present "
+                    "in directory."
+                )
+        return locations
+
+    @staticmethod
+    def get_snapshot_order(snapshot_file_info, reverse: bool = False) -> list[str]:
+        """Number strings sorted numerically (`_SnapshotSWIFT.py:279-283`)."""
+        return sorted(snapshot_file_info, key=int, reverse=reverse)
+
 
 class CatalogueSOAP(CatalogueBase):
     """SOAP/VELOCIraptor catalogue reader (`io/SWIFT/_CatalogueSOAP.py`)."""

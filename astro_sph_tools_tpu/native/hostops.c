@@ -68,7 +68,6 @@ void assign_tiles_f64(
     const double inv_psx = 1.0 / psx;
     const double inv_psy = 1.0 / psy;
     const double ps_min = psx < psy ? psx : psy;
-    const double s_scale = sfac / ps_min;
     for (int64_t i = 0; i < n; i++) {
         double u = (x[i] - x0) * inv_psx;
         double v = (y[i] - y0) * inv_psy;
@@ -76,15 +75,29 @@ void assign_tiles_f64(
             u = pymod(u, (double)nx);
             v = pymod(v, (double)ny);
         }
-        double s_pix = s_scale * (double)h[i];
+        /* same operation order as the NumPy fallback ((sfac * h) / ps_min):
+         * a different rounding order can flip the level assignment at an
+         * exact level-bound value */
+        double s_pix = (sfac * (double)h[i]) / ps_min;
         int32_t level = n_levels;
         for (int32_t l = 0; l < n_levels; l++) {
             if (bounds[l] >= 0.0 && s_pix <= bounds[l]) { level = l; break; }
         }
         if (level < n_levels) {
-            /* truncating casts match NumPy .astype(int32) */
-            int32_t ti = clip_i32((int32_t)(u / (double)tw[level]), 0, ntx[level] - 1);
-            int32_t tj = clip_i32((int32_t)(v / (double)th[level]), 0, nty[level] - 1);
+            /* clamp the double quotient BEFORE the integer cast: a far
+             * out-of-extent non-periodic particle can push u/tw beyond
+             * int32 range, where the cast is undefined behavior in C
+             * (NumPy's .astype(int32) wraps deterministically; both are
+             * clipped into range, so clamping first is equivalent for
+             * every in-extent particle and well-defined for the rest) */
+            double qu = u / (double)tw[level];
+            double qv = v / (double)th[level];
+            if (qu < 0.0) qu = 0.0;
+            if (qu > (double)(ntx[level] - 1)) qu = (double)(ntx[level] - 1);
+            if (qv < 0.0) qv = 0.0;
+            if (qv > (double)(nty[level] - 1)) qv = (double)(nty[level] - 1);
+            int32_t ti = (int32_t)qu;
+            int32_t tj = (int32_t)qv;
             key[i] = (int32_t)((int64_t)level * stride + (int64_t)tj * ntx[level] + ti);
             u_loc[i] = (float)(u - (double)(ti * tw[level] - marg[level]));
             v_loc[i] = (float)(v - (double)(tj * th[level] - marg[level]));

@@ -742,9 +742,11 @@ class TiledParticles:
     # clipped-index gather at this size costs seconds on TPU)
     sorted_v: Array
     sorted_h: Array
-    sorted_values: Array  # (F, 2N)
-    sorted_tile: Array  # (2N,) tile id within the particle's own level
-    perm: Array  # (2N,) original index of each sorted slot (pads: 0)
+    sorted_values: Array  # (F, N + slack)
+    sorted_tile: Array  # (N + slack,) tile id within the particle's own level
+    perm: Optional[Array]  # (N + slack,) original index of each sorted slot
+    # (pads: 0); None when built with need_perm=False (drops one operand
+    # from the fused sort — with_values is then unavailable)
     n_sorted: int  # real sorted length N (pow2-padded particle count)
     n_oversize: int  # trailing segment routed to the XLA fallback
     n_valid: int  # real (non-padding) particle count
@@ -755,6 +757,11 @@ class TiledParticles:
 
     def with_values(self, values) -> "TiledParticles":
         """Same layout, new deposit payloads (device gather, no re-sort)."""
+        if self.perm is None:
+            raise ValueError(
+                "layout was built with need_perm=False; rebuild with "
+                "tile_particles(..., need_perm=True) to re-render new fields"
+            )
         values, _ = _as_field_matrix(values)
         n = values.shape[1]
         if n != self.n_valid:
@@ -776,6 +783,7 @@ def tile_particles(
     *,
     kernel: str = "cubic_spline",
     levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
+    need_perm: bool = True,
 ) -> TiledParticles:
     """Build the device-resident multi-level layout with ONE fused sort.
 
@@ -867,7 +875,7 @@ def tile_particles(
             )
             key = (level * _LEVEL_STRIDE + tile).astype(np.int32)
         sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort_local(
-            len(bounds), n_fields
+            len(bounds), n_fields, need_perm
         )(
             jnp.asarray(key), jnp.asarray(u_loc, jnp.float32),
             jnp.asarray(v_loc, jnp.float32), h, values,
@@ -880,7 +888,7 @@ def tile_particles(
         sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort(
             spec.shape, extent, spec.periodic_wrap,
             bounds, *geom_tuples,
-            kspec.support_factor, n_fields,
+            kspec.support_factor, n_fields, need_perm,
         )(x, y, h, values)
 
     counts_host = np.asarray(counts)  # host sync: len(levels)+1 ints
@@ -927,14 +935,22 @@ def _multi_level_assign(u, v, s_pix, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_
     return level, tile, u_loc, v_loc
 
 
-def _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields):
-    """Composite-key sort + per-level counts + 2N slack padding."""
-    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
-    # payloads ride the sort (see note in _deposit_2d_pallas_traced)
-    sorted_key, su, sv, sh, perm, *s_vals = jax.lax.sort(
-        [key, u_loc, v_loc, h, idx] + [values[f] for f in range(n_fields)],
-        num_keys=1,
+def _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields,
+                    need_perm: bool = True):
+    """Composite-key sort + per-level counts + N/2 slack padding."""
+    # payloads ride the sort (see note in _deposit_2d_pallas_traced); the
+    # original-index operand is optional — dropping it saves one sorted
+    # operand (~10% of the sort wall) when re-rendering via with_values is
+    # not needed (the streaming/benchmark hot paths)
+    operands = [key, u_loc, v_loc, h]
+    if need_perm:
+        operands.append(jnp.arange(key.shape[0], dtype=jnp.int32))
+    sorted_ops = jax.lax.sort(
+        operands + [values[f] for f in range(n_fields)], num_keys=1
     )
+    sorted_key, su, sv, sh = sorted_ops[:4]
+    perm = sorted_ops[4] if need_perm else None
+    s_vals = sorted_ops[4 + int(need_perm):]
     s_values = jnp.stack(s_vals, axis=0)
     lv = jnp.arange(n_levels + 1, dtype=jnp.int32) * _LEVEL_STRIDE
     starts = jnp.searchsorted(sorted_key, lv).astype(jnp.int32)
@@ -943,20 +959,26 @@ def _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields):
     ).astype(jnp.int32)
     counts = ends - starts
     s_tile = sorted_key - (sorted_key // _LEVEL_STRIDE) * _LEVEL_STRIDE
-    # double-length slack so every level segment (offset lo, pow2 bucket,
-    # lo + bucket <= 2N) is a dynamic_slice, never a gather
+    # N/2 slack so every level segment (offset lo, pow2 bucket) is a
+    # lax.dynamic_slice, never a gather. lo + bucket <= N + slack always:
+    # bucket = max(CHUNK, next_pow2(c)) and lo <= N - c; for
+    # next_pow2(c) <= CHUNK the end is <= N + CHUNK, otherwise the overhang
+    # next_pow2(c) - c < c <= N/2 for c <= N/2, and for c > N/2 bucket = N
+    # with lo + N <= 2N - c < 1.5N.
     n = key.shape[0]
-    pad1 = lambda a: jnp.pad(a, (0, n))
+    slack = max(n // 2, _CHUNK)
+    pad1 = lambda a: jnp.pad(a, (0, slack))
     return (
         pad1(s_tile), pad1(su), pad1(sv), pad1(sh),
-        jnp.pad(s_values, ((0, 0), (0, n))), pad1(perm), counts,
+        jnp.pad(s_values, ((0, 0), (0, slack))),
+        pad1(perm) if need_perm else None, counts,
     )
 
 
 @lru_cache(maxsize=256)
 def _cached_tile_sort(
     shape, extent, periodic, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t,
-    m_t, support_factor, n_fields,
+    m_t, support_factor, n_fields, need_perm=True,
 ):
     n_levels = len(bounds)
 
@@ -976,19 +998,23 @@ def _cached_tile_sort(
             u, v, s_pix, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t, m_t, jnp
         )
         key = level * _LEVEL_STRIDE + tile
-        return _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields)
+        return _tile_sort_tail(
+            key, u_loc, v_loc, h, values, n_levels, n_fields, need_perm
+        )
 
     return run
 
 
 @lru_cache(maxsize=64)
-def _cached_tile_sort_local(n_levels, n_fields):
+def _cached_tile_sort_local(n_levels, n_fields, need_perm=True):
     """Sort tail for host-precomputed (key, local coords) — the f64 quality
     path computes the level/tile/local assignment on the host."""
 
     @jax.jit
     def run(key, u_loc, v_loc, h, values):
-        return _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields)
+        return _tile_sort_tail(
+            key, u_loc, v_loc, h, values, n_levels, n_fields, need_perm
+        )
 
     return run
 

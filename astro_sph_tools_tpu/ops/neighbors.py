@@ -11,11 +11,15 @@ and (b) k-NN smoothing lengths for SWIFT dark matter
   O(N_query x M_points) but fully vectorized. For the halo workload
   (M ~ 1e4-1e6 haloes), a 1e8-particle query sweep is ~1e13 flop-class —
   viable on-chip, and far simpler than emulating a tree.
+- :func:`nearest_points_grid` — the shell-walking grid query for huge M:
+  statically-unrolled Chebyshev shells over a periodic cell grid with
+  per-chunk early exit, a residual spill pass, and a dense void fallback;
+  exact match vs scipy KDTree on clustered periodic boxes.
+- :func:`knn_distances_grid` — the k-nearest generalization (fixed-k
+  insertion into per-query best lists over the same shell walk), used for
+  SWIFT dark-matter smoothing lengths at scale.
 - :func:`nearest_points` — dispatcher: device path when M is small enough
   to make dense blocks efficient, scipy KDTree (all cores) otherwise.
-
-A shell-walking Pallas kernel over the :mod:`cells` structure is the planned
-upgrade path for huge M.
 """
 
 from __future__ import annotations

@@ -521,7 +521,9 @@ def column_integrate_pallas(
     """
     n_rays_in = np.asarray(ray_x).shape[0]
     if n_rays_in == 0:
-        v = np.asarray(values)
+        # read ndim/shape as metadata — np.asarray on a device array here
+        # would force a full device-to-host copy just for this edge path
+        v = values if hasattr(values, "ndim") else np.asarray(values)
         zero = jnp.zeros((0,) if v.ndim == 1 else (v.shape[1], 0), jnp.float32)
         return zero
     if n_rays_in > _RAY_BATCH:

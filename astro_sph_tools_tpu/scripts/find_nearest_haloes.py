@@ -99,16 +99,28 @@ def run(
         print_info("Terminating...")
         return 1
     if swift:
-        raise NotImplementedError("SWIFT file-tree scraping is not yet wired into this tool.")
+        if snipshots:
+            print_error("SWIFT simulations have no snipshot outputs.")
+            print_info("Terminating...")
+            return 1
+        print_info(f'Using SWIFT data from "{input_directory}".')
+        from ..io.filetree import FileTreeScraper_SWIFT
 
-    print_info(f"Using sn[{'I' if snipshots else 'A'}]pshot files.")
-    print_info(f'Using EAGLE data from "{input_directory}".')
-    sim_files = FileTreeScraper_EAGLE(
-        input_directory,
-        skip_snapshot_numbers=skip_file_numbers if not snipshots else None,
-        skip_snipshot_numbers=skip_file_numbers if snipshots else None,
-    )
-    catalogues = sim_files.snipshot_catalogues if snipshots else sim_files.catalogues
+        sim_files = FileTreeScraper_SWIFT(
+            input_directory, skip_snapshot_numbers=skip_file_numbers
+        )
+        catalogues = sim_files.catalogues
+    else:
+        print_info(f"Using sn[{'I' if snipshots else 'A'}]pshot files.")
+        print_info(f'Using EAGLE data from "{input_directory}".')
+        sim_files = FileTreeScraper_EAGLE(
+            input_directory,
+            skip_snapshot_numbers=skip_file_numbers if not snipshots else None,
+            skip_snipshot_numbers=skip_file_numbers if snipshots else None,
+        )
+        catalogues = (
+            sim_files.snipshot_catalogues if snipshots else sim_files.catalogues
+        )
     file_number = catalogues.find_file_number_from_redshift(target_redshift)
     print_info(f"Selected file number {file_number} for target redshift {target_redshift}.")
 

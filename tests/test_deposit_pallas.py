@@ -177,6 +177,26 @@ class TestTiledLayout:
         exp = project_oracle(x, y, h, m2, spec.shape, spec.extent)
         assert rel_err(got, exp) < 1e-5
 
+    def test_need_perm_false_renders_identically(self, rng):
+        from astro_sph_tools_tpu.ops.deposit_pallas import deposit_tiled, tile_particles
+
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+        px = box / 64
+        n = 2500
+        x = rng.uniform(0, box, n)
+        y = rng.uniform(0, box, n)
+        h = 10.0 ** rng.uniform(-0.3, 0.8, n) * px
+        m = rng.uniform(0.5, 2.0, n)
+        tp_full = tile_particles(x, y, h, m, spec)
+        tp_lean = tile_particles(x, y, h, m, spec, need_perm=False)
+        assert tp_lean.perm is None
+        a = np.asarray(deposit_tiled(tp_full, precision="f32"))
+        b = np.asarray(deposit_tiled(tp_lean, precision="f32"))
+        np.testing.assert_array_equal(a, b)
+        with pytest.raises(ValueError, match="need_perm"):
+            tp_lean.with_values(m)
+
 
 def test_integrated_projection_matches_xla():
     """projection='integrated' (line-integrated kernel) in the fused pass."""
