@@ -190,24 +190,44 @@ class SnapshotSWIFT(SnapshotBase):
             particle_type, "SmoothingLengths", "cm", use_proper_units
         ).to("Mpc")
 
+    # device-grid crossover for the DM k-NN: below this, host KDTree setup
+    # beats the device grid query (see benchmarks/knn_crossover.py); "grid"
+    # / "kdtree" force an engine
+    dm_hsml_engine: str = "auto"
+    DM_HSML_DEVICE_THRESHOLD: int = 200_000
+
     def _dm_smoothing_lengths(self, use_proper_units: bool) -> UnitArray:
         """k-NN derived DM smoothing lengths (`_SnapshotSWIFT.py:58-85`,
-        with the chunk-slice bug fixed)."""
+        with the chunk-slice bug fixed). At scale (>= ~2e5 particles) the
+        32-NN distance runs on device via the shell-walking cell grid
+        (`ops.neighbors.knn_distances_grid`); small sets use scipy KDTree."""
         if self._dm_hsml_cache is None:
-            from scipy.spatial import KDTree
-
             pos = self.get_positions(ParticleType.dark_matter).to_value("Mpc")
             box = float(self.box_size.value[0])
-            tree = KDTree(np.mod(pos, box), boxsize=box)
             n = pos.shape[0]
-            out = np.empty(n, dtype=np.float64)
-            for start in range(0, n, DM_CHUNK):
-                stop = min(start + DM_CHUNK, n)  # reference used max() here
-                d, _ = tree.query(
-                    np.mod(pos[start:stop], box), k=DM_NEIGHBOUR_COUNT, workers=-1
+            engine = self.dm_hsml_engine
+            if engine == "auto":
+                engine = "grid" if n >= self.DM_HSML_DEVICE_THRESHOLD else "kdtree"
+            if engine == "grid":
+                from ..ops.neighbors import knn_distances_grid
+
+                d = knn_distances_grid(
+                    pos, pos, DM_NEIGHBOUR_COUNT, periodic_box=box
                 )
-                out[start:stop] = d[:, -1]
-            self._dm_hsml_cache = out
+                self._dm_hsml_cache = d[:, -1].astype(np.float64)
+            else:
+                from scipy.spatial import KDTree
+
+                tree = KDTree(np.mod(pos, box), boxsize=box)
+                out = np.empty(n, dtype=np.float64)
+                for start in range(0, n, DM_CHUNK):
+                    stop = min(start + DM_CHUNK, n)  # reference used max() here
+                    d, _ = tree.query(
+                        np.mod(pos[start:stop], box),
+                        k=DM_NEIGHBOUR_COUNT, workers=-1,
+                    )
+                    out[start:stop] = d[:, -1]
+                self._dm_hsml_cache = out
         result = unit_array(self._dm_hsml_cache.copy(), "Mpc")
         return result * self.a if use_proper_units else result
 

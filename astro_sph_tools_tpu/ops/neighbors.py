@@ -277,31 +277,12 @@ def _grid_query_impl(
     return idx.reshape(-1), dist.reshape(-1)
 
 
-def nearest_points_grid(
-    queries,
-    points,
-    *,
-    periodic_box: Optional[float] = None,
-    chunk: int = _GRID_CHUNK,
-    cap: int = _GRID_CAP,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Shell-walking nearest-point query over an on-device cell grid.
+def _build_cell_grid(queries, points_in, periodic_box, cap, chunk,
+                     points_per_cell: float = 8.0):
+    """Host-side one-pass grid build shared by the shell-walking queries.
 
-    The TPU-native replacement for the reference's threaded KDTree
-    (`_scripts/find_nearest_haloes.py:212-215`, SURVEY.md §2.8): points are
-    bucketed into a cubic cell grid (host, one pass); each query chunk walks
-    Chebyshev shells 0.._R_CAP (statically unrolled, runtime-skipped per
-    chunk once every query's best distance proves no deeper shell can win),
-    spilled bucket overflow rides one dense residual pass, and rare
-    void-region chunks fall back to a dense sweep. O(N_query * shell
-    candidates) instead of O(N_query * M).
-    """
-    queries = np.asarray(queries, np.float32)
-    points_in = np.asarray(points, np.float32)
+    Returns (q_pad, pts_full, buckets, res_pad, geometry dict)."""
     m = points_in.shape[0]
-    if m == 0:
-        raise ValueError("no points to query against")
-
     if periodic_box is not None:
         origin = (0.0, 0.0, 0.0)
         span = float(periodic_box)
@@ -315,8 +296,7 @@ def nearest_points_grid(
         pts = points_in
         qs = queries
 
-    # grid resolution: ~8 points per cell on average
-    g = int(np.clip(round((m / 8.0) ** (1 / 3)), 1, 128))
+    g = int(np.clip(round((m / points_per_cell) ** (1 / 3)), 1, 128))
     cell = span / g
 
     cidx = np.floor((pts - np.asarray(origin, np.float32)) / cell).astype(np.int64)
@@ -359,10 +339,190 @@ def nearest_points_grid(
     pts_full = np.full((m_full, 3), 1e30, np.float32)
     pts_full[:m_pad] = pts_pad
 
+    geom = dict(
+        g=g, cell=float(cell), origin=origin, m_pad=m_pad,
+        periodic=periodic_box is not None,
+    )
+    return q_pad, pts_full, buckets, res_pad, geom
+
+
+def nearest_points_grid(
+    queries,
+    points,
+    *,
+    periodic_box: Optional[float] = None,
+    chunk: int = _GRID_CHUNK,
+    cap: int = _GRID_CAP,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shell-walking nearest-point query over an on-device cell grid.
+
+    The TPU-native replacement for the reference's threaded KDTree
+    (`_scripts/find_nearest_haloes.py:212-215`, SURVEY.md §2.8): points are
+    bucketed into a cubic cell grid (host, one pass); each query chunk walks
+    Chebyshev shells 0.._R_CAP (statically unrolled, runtime-skipped per
+    chunk once every query's best distance proves no deeper shell can win),
+    spilled bucket overflow rides one dense residual pass, and rare
+    void-region chunks fall back to a dense sweep. O(N_query * shell
+    candidates) instead of O(N_query * M).
+    """
+    queries = np.asarray(queries, np.float32)
+    points_in = np.asarray(points, np.float32)
+    if points_in.shape[0] == 0:
+        raise ValueError("no points to query against")
+    n = queries.shape[0]
+    q_pad, pts_full, buckets, res_pad, geom = _build_cell_grid(
+        queries, points_in, periodic_box, cap, chunk
+    )
     idx, dist = _grid_query_impl(
         jnp.asarray(q_pad), jnp.asarray(pts_full), jnp.asarray(buckets),
         jnp.asarray(res_pad),
-        g=g, cap=cap, chunk=chunk, periodic=periodic_box is not None,
-        cell=float(cell), origin=origin, m_pad=m_pad,
+        cap=cap, chunk=chunk, **geom,
     )
     return np.asarray(idx[:n]).astype(np.int64), np.asarray(dist[:n])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("g", "cap", "chunk", "periodic", "cell", "origin", "m_pad", "k"),
+)
+def _grid_knn_impl(
+    queries,  # (n_pad, 3)
+    points,  # (m_pad_full, 3) — row m is an inf sentinel
+    buckets,  # (g^3, cap) int32 point indices, sentinel = m_pad - 1
+    residual_idx,  # (n_res_pad,)
+    *,
+    g, cap, chunk, periodic, cell, origin, m_pad, k,
+):
+    """k-nearest shell walk: per-query ascending best-k distance lists,
+    merged with each shell's candidates via top_k; a chunk stops probing
+    deeper shells once every query's k-th best distance proves no
+    unexplored cell can contribute."""
+    n = queries.shape[0]
+    n_chunks = n // chunk
+    box = g * cell
+
+    def min_image(d):
+        if periodic:
+            return d - jnp.round(d / box) * box
+        return d
+
+    def merge(best_d2, new_d2):
+        """(chunk, k) asc + (chunk, c) -> (chunk, k) asc smallest."""
+        alld2 = jnp.concatenate([best_d2, new_d2], axis=1)
+        return -jax.lax.top_k(-alld2, k)[0]
+
+    def chunk_fn(_, q):  # q: (chunk, 3)
+        ci = jnp.floor((q - jnp.asarray(origin)) / cell).astype(jnp.int32)
+        ci = jnp.mod(ci, g) if periodic else jnp.clip(ci, 0, g - 1)
+        best_d2 = jnp.full((chunk, k), jnp.inf, jnp.float32)
+
+        def probe(offs, best_d2):
+            cc = ci[:, None, :] + jnp.asarray(offs)[None, :, :]  # (C, O, 3)
+            if periodic:
+                cc = jnp.mod(cc, g)
+                in_grid = jnp.ones(cc.shape[:2], bool)
+            else:
+                in_grid = ((cc >= 0) & (cc < g)).all(axis=-1)
+                cc = jnp.clip(cc, 0, g - 1)
+            flat = (cc[..., 2] * g + cc[..., 1]) * g + cc[..., 0]
+            cand = buckets[flat]  # (C, O, cap)
+            cand = jnp.where(in_grid[..., None], cand, m_pad - 1)
+            p = points[cand]
+            d = min_image(q[:, None, None, :] - p)
+            d2 = (d * d).sum(-1)
+            d2 = jnp.where(cand == m_pad - 1, jnp.inf, d2)
+            return merge(best_d2, d2.reshape(chunk, -1))
+
+        for r in range(_R_CAP + 1):
+            offs = _shell_offsets(r)
+            if r == 0:
+                best_d2 = probe(offs, best_d2)
+            else:
+                # all k found within the radius shells 0..r-1 guarantee?
+                settled = best_d2[:, -1] <= ((r - 1) * cell) ** 2
+                best_d2 = jax.lax.cond(
+                    jnp.all(settled),
+                    lambda b: b,
+                    lambda b: probe(offs, b),
+                    best_d2,
+                )
+
+        if residual_idx.shape[0] > 0:
+            p = points[residual_idx]
+            d = min_image(q[:, None, :] - p[None, :, :])
+            d2 = (d * d).sum(-1)
+            d2 = jnp.where(residual_idx[None, :] == m_pad - 1, jnp.inf, d2)
+            best_d2 = merge(best_d2, d2)
+
+        def dense(_):
+            # recompute from scratch: the sweep sees EVERY point, and merging
+            # into the shell-probe best list would double-count points found
+            # by both (duplicate distances displace real k-NN entries)
+            pchunk = 4096
+            n_pc = points.shape[0] // pchunk
+
+            def body(c, best_d2):
+                p = jax.lax.dynamic_slice(points, (c * pchunk, 0), (pchunk, 3))
+                d = min_image(q[:, None, :] - p[None, :, :])
+                d2 = (d * d).sum(-1)
+                gidx = c * pchunk + jnp.arange(pchunk)
+                d2 = jnp.where(gidx[None, :] >= m_pad - 1, jnp.inf, d2)
+                return merge(best_d2, d2)
+
+            return jax.lax.fori_loop(
+                0, n_pc, body, jnp.full((chunk, k), jnp.inf, jnp.float32)
+            )
+
+        settled = best_d2[:, -1] <= (_R_CAP * cell) ** 2
+        best_d2 = jax.lax.cond(jnp.all(settled), lambda b: b, dense, best_d2)
+        return None, jnp.sqrt(best_d2)
+
+    _, dist = jax.lax.scan(chunk_fn, None, queries.reshape(n_chunks, chunk, 3))
+    return dist.reshape(-1, k)
+
+
+def knn_distances_grid(
+    queries,
+    points,
+    k: int,
+    *,
+    periodic_box: Optional[float] = None,
+    chunk: int = 64,
+    cap: int = _GRID_CAP,
+) -> np.ndarray:
+    """Distances to the k nearest points (ascending) via the shell-walking
+    cell grid — the at-scale device path for SWIFT dark-matter smoothing
+    lengths (`_SnapshotSWIFT.py:58-85`: 32-NN distance), where the dense
+    :func:`knn_distances` is O(N*M).
+
+    Exact: matches ``scipy.spatial.KDTree.query(k=k)`` distances (to f32).
+    The cell resolution targets ~4k points per 3x3x3 neighbourhood so the
+    r=1 shell usually settles k<=32; unsettled chunks walk deeper shells
+    and, past ``_R_CAP``, a dense sweep.
+    """
+    queries = np.asarray(queries, np.float32)
+    points_in = np.asarray(points, np.float32)
+    m = points_in.shape[0]
+    if m == 0:
+        raise ValueError("no points to query against")
+    if k > m:
+        raise ValueError(f"k={k} exceeds the number of points ({m})")
+    n = queries.shape[0]
+    # denser cells than nearest-1 (need >= k candidates nearby): ~4*k per
+    # 27-cell neighbourhood
+    per_cell = max(8.0, 4.0 * k / 27.0)
+    # a grid narrower than the full shell stencil would probe wrapped-
+    # duplicate cells under periodicity (duplicate candidates corrupt a
+    # k-list, unlike the nearest-1 min); tiny sets go dense instead
+    g_est = int(np.clip(round((m / per_cell) ** (1 / 3)), 1, 128))
+    if g_est < 2 * _R_CAP + 1:
+        return knn_distances(queries, points_in, k, periodic_box=periodic_box)
+    q_pad, pts_full, buckets, res_pad, geom = _build_cell_grid(
+        queries, points_in, periodic_box, cap, chunk, points_per_cell=per_cell
+    )
+    dist = _grid_knn_impl(
+        jnp.asarray(q_pad), jnp.asarray(pts_full), jnp.asarray(buckets),
+        jnp.asarray(res_pad),
+        cap=cap, chunk=chunk, k=k, **geom,
+    )
+    return np.asarray(dist[:n])
