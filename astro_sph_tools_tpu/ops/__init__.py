@@ -10,11 +10,18 @@ from .deposit_pallas import (
     deposit_tiled,
     tile_particles,
 )
+from .deposit_coherent import (
+    CoherentLayout,
+    deposit_2d_coherent,
+    deposit_coherent,
+    tile_particles_coherent,
+)
 from .grid3d import GridSpec, deposit_3d
 from .grid3d_pallas import PALLAS_3D_LEVELS, deposit_3d_auto, deposit_3d_pallas
 from .interp import cubic_spline_1d, regular_grid_interpolate
 from .neighbors import (
     knn_distances,
+    knn_distances_grid,
     nearest_points,
     nearest_points_device,
     nearest_points_grid,
@@ -57,6 +64,10 @@ __all__ = [
     "cubic_spline_1d",
     "deposit_2d",
     "deposit_2d_auto",
+    "deposit_2d_coherent",
+    "deposit_coherent",
+    "tile_particles_coherent",
+    "CoherentLayout",
     "deposit_2d_fixed_h",
     "deposit_2d_pallas",
     "deposit_3d",
@@ -75,6 +86,7 @@ __all__ = [
     "nearest_points",
     "nearest_points_device",
     "nearest_points_grid",
+    "knn_distances_grid",
     "regular_grid_interpolate",
     "calculate_periodic",
     "make_periodic",

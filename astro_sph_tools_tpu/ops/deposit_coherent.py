@@ -1,0 +1,631 @@
+"""Coherent-order fused deposit: exploit snapshot ordering instead of a
+global sort.
+
+Real EAGLE/SWIFT/TNG snapshots store particles in space-filling-curve order
+(Peano-Hilbert domain cells; cf. pyread_eagle's hash-cell chunk reads,
+`/root/reference/src/astro_sph_tools/io/EAGLE/_SnapshotEAGLE.py:115-130`), so
+consecutive particles are spatially adjacent. The sorted-layout engine
+(:mod:`.deposit_pallas`) pays a 6-operand global ``lax.sort`` (~70% of the
+render wall at 1e8 particles) to group particles by (level, tile); this
+engine replaces it with work that scales with *chunk count*, not particle
+count:
+
+1. **Row sort**: view the input as (n_rows, C=2048) chunks and sort each row
+   by the composite (level, tile) key — a batched small sort, ~5x cheaper
+   than the global sort (log^2 C vs log^2 N bitonic passes).
+2. **Row classification**: a row whose particles are all in the smallest
+   footprint level and touch <= D distinct tiles (coherent input: 1-3) is
+   *coherent*; everything else — void rows full of large-h particles, level
+   mixtures, incoherent input — is *routed*.
+3. **Coherent pass**: one Pallas work-list step per (tile, row) candidate.
+   Steps serve their tile's accumulator exactly like the sorted engine, but
+   read the row-sorted chunk **in place** and mask lanes by key equality —
+   no particle data moves. The schedule packs (work, tile, row) into one
+   int32 per step in SMEM.
+4. **Routed tail**: routed rows (a few % for real snapshots) are gathered at
+   row granularity (64 KB slices — efficient, unlike element gathers) and
+   rendered through the existing global-sort pipeline, levels K=8..64 plus
+   the dense oversize fallback.
+
+Degradation is graceful: fully random input classifies every row as routed
+and the engine becomes the sorted engine plus a cheap row sort. Fidelity is
+identical to :func:`deposit_pallas.deposit_tiled` (same `_chunk_contrib`
+math, same precision modes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernels.splines import get_kernel, integrated_kernel_chebyshev
+from .deposit import MapSpec
+from .deposit_pallas import (
+    _CHUNK,
+    PALLAS_LEVELS,
+    PallasDepositConfig,
+    _as_field_matrix,
+    _check_precision,
+    _chunk_contrib,
+    _layout_level_body,
+    _level_geometry,
+    _LevelGeometry,
+    _multi_level_assign,
+    _next_pow2,
+    _pad_particles_pow2,
+)
+
+Array = jax.Array
+
+_D_MAX = 8  # distinct coherent-level tiles a row may touch before routing
+_TAIL_SLAB = 128  # per-row tail lanes routed lane-wise before the row goes whole
+
+
+def _ckey_bases(geoms) -> tuple[int, ...]:
+    """Cumulative tile-offset key bases per level + [oversize, pad] tails.
+
+    Composite keys ``base[level] + tile`` stay far below 2^24, so they are
+    exact in the f32 channel the kernel compares against (the
+    level * 2^22 + tile keys of the sorted engine are not)."""
+    bases = [0]
+    for g in geoms:
+        bases.append(bases[-1] + (g.n_tiles if g is not None else 0))
+    # bases[n_levels] = oversize key, +1 = padding sentinel
+    return tuple(bases)
+
+
+@dataclass(frozen=True)
+class CoherentLayout:
+    """Row-sorted channel layout + schedules for the coherent deposit."""
+
+    spec: MapSpec
+    kernel: str
+    geom0: _LevelGeometry  # coherent (smallest footprint) level geometry
+    packed: Array  # (n_rows, 8, C): [u, v, h, val.., ckey]
+    cand_tile: Array  # (B0,) tile of each coherent candidate (pad: n_tiles)
+    cand_row: Array  # (B0,) chunk row of each candidate
+    n_cand: int
+    tail: tuple  # sorted routed-tail arrays (u, v, h, vals, tile) or None
+    tail_metas: tuple  # per populated tail level: (geom, lo, bucket, count)
+    n_tail_oversize: int
+    n_tail_sorted: int  # real (non-slack) tail length
+    n_fields: int
+    n_valid: int
+    stats: dict  # row/candidate diagnostics (coherent_fraction etc.)
+
+
+def _assign_and_rowsort(
+    x, y, h, values, *, shape, extent, periodic, bounds, geom_tuples,
+    support_factor, n_fields, n_levels, bases, d_max, n_rows, C,
+):
+    """Stage A (traced): key assignment, per-row sort, row classification,
+    candidate extraction, candidate sort, mixed-row index list."""
+    ny, nx = shape
+    x0, x1, y0, y1 = extent
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    u = (x - x0) / psx
+    v = (y - y0) / psy
+    if periodic:
+        u = jnp.mod(u, nx)
+        v = jnp.mod(v, ny)
+    s_pix = support_factor * h / min(psx, psy)
+    level, tile, u_loc, v_loc = _multi_level_assign(
+        u, v, s_pix, bounds, *geom_tuples, jnp
+    )
+    base_arr = jnp.asarray(bases[: n_levels + 1], jnp.int32)
+    ckey = base_arr[jnp.minimum(level, n_levels)] + jnp.where(
+        level < n_levels, tile, 0
+    )
+
+    to2 = lambda a: a.reshape(n_rows, C)
+    ops2 = [to2(ckey), to2(u_loc), to2(v_loc), to2(h)] + [
+        to2(values[f]) for f in range(n_fields)
+    ]
+    sorted2 = jax.lax.sort(ops2, num_keys=1)
+    k2 = sorted2[0]
+
+    is_first = jnp.concatenate(
+        [jnp.ones((n_rows, 1), bool), k2[:, 1:] != k2[:, :-1]], axis=1
+    )
+    is_l0 = k2 < bases[1]
+    # head = the row's coherent-level prefix; tail = everything after.
+    # A row stays coherent when its head touches few tiles AND its tail fits
+    # the fixed slab (the tail then routes lane-wise; only "heavy" rows —
+    # deep-void rows that are mostly large-h, or incoherent input — route
+    # whole). Without the split, one stray large-h particle per row would
+    # route everything at realistic lognormal-h scatter.
+    tail_count = C - is_l0.sum(axis=1)
+    head_distinct = (is_first & is_l0).sum(axis=1)
+    coherent = (tail_count <= _TAIL_SLAB) & (head_distinct <= d_max)
+
+    pad_key = jnp.int32(bases[n_levels] + 1)
+    masked = jnp.where(is_first & is_l0 & coherent[:, None], k2, pad_key)
+    # first d_max distinct head keys per row: each appears once in `masked`
+    # (at its first lane), the rest are the pad sentinel
+    cand_keys = -jax.lax.top_k(-masked, d_max)[0]  # (n_rows, D) ascending
+    cand_rows = jnp.broadcast_to(
+        jnp.arange(n_rows, dtype=jnp.int32)[:, None], (n_rows, d_max)
+    )
+    sk, sr = jax.lax.sort(
+        [cand_keys.reshape(-1), cand_rows.reshape(-1)], num_keys=1
+    )
+    n_cand = jnp.searchsorted(sk, jnp.int32(bases[1])).astype(jnp.int32)
+
+    routed = ~coherent
+    n_routed = routed.sum().astype(jnp.int32)
+    routed_rows = jnp.nonzero(routed, size=n_rows, fill_value=n_rows)[0].astype(
+        jnp.int32
+    )
+    n_slab_tail = jnp.where(coherent, tail_count, 0).sum().astype(jnp.int32)
+
+    packed = jnp.stack(
+        list(sorted2[1:4])
+        + list(sorted2[4:])
+        + [k2.astype(jnp.float32)]
+        + [jnp.zeros((n_rows, C), jnp.float32)] * (8 - 4 - n_fields),
+        axis=1,
+    )  # (n_rows, 8, C): u, v, h, vals..., ckey, zero-pad
+    counts = jnp.stack([n_cand, n_routed, n_slab_tail])
+    return packed, sk, sr, routed_rows, coherent, counts
+
+
+@lru_cache(maxsize=256)
+def _cached_stage_a(
+    shape, extent, periodic, bounds, geom_tuples, support_factor, n_fields,
+    n_levels, bases, d_max, n_rows, C,
+):
+    fn = partial(
+        _assign_and_rowsort,
+        shape=shape, extent=extent, periodic=periodic, bounds=bounds,
+        geom_tuples=geom_tuples, support_factor=support_factor,
+        n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
+        n_rows=n_rows, C=C,
+    )
+    return jax.jit(fn)
+
+
+def _tail_sort(packed, routed_rows, n_routed, coherent, *, bm, n_fields,
+               bases, n_levels, n_rows, C, T):
+    """Stage B (traced): routed-tail assembly + global sort.
+
+    Two sources: (a) the last-T-lane slab of every coherent row — its tail
+    lanes (key >= bases[1]) route lane-wise, its coherent-level lanes are
+    masked out (already deposited in place); (b) heavy rows, gathered whole
+    at row granularity (64KB slices)."""
+    rows = jax.lax.dynamic_slice(routed_rows, (0,), (bm,))
+    live_row = jnp.arange(bm) < n_routed
+    rows = jnp.where(live_row, rows, 0)
+    blocks = jnp.take(packed, rows, axis=0)  # (bm, 8, C) — 64KB row slices
+    pad_key = jnp.int32(bases[n_levels] + 1)
+
+    slabs = packed[:, :, C - T :]  # (n_rows, 8, T)
+    key_s = slabs[:, 3 + n_fields, :].astype(jnp.int32)
+    keep_s = coherent[:, None] & (key_s >= bases[1])
+    key_s = jnp.where(keep_s, key_s, pad_key)
+
+    key_h = blocks[:, 3 + n_fields, :].reshape(-1).astype(jnp.int32)
+    key_h = jnp.where(jnp.repeat(live_row, C), key_h, pad_key)
+
+    def chan(ci):
+        return jnp.concatenate(
+            [slabs[:, ci, :].reshape(-1), blocks[:, ci, :].reshape(-1)]
+        )
+
+    key = jnp.concatenate([key_s.reshape(-1), key_h])
+    ops = [key, chan(0), chan(1), chan(2)] + [chan(3 + f) for f in range(n_fields)]
+    skey, su, sv, sh, *s_vals = jax.lax.sort(ops, num_keys=1)
+    s_values = jnp.stack(s_vals, axis=0)
+
+    base_arr = jnp.asarray(bases, jnp.int32)  # (n_levels+1,)
+    starts = jnp.searchsorted(skey, base_arr).astype(jnp.int32)
+    end_oversize = jnp.searchsorted(skey, jnp.int32(bases[n_levels] + 1)).astype(
+        jnp.int32
+    )
+    counts = jnp.concatenate(
+        [starts[1:] - starts[:-1], (end_oversize - starts[n_levels])[None]]
+    )
+    # level-local tiles: subtract the key base of each particle's level
+    lev = jnp.searchsorted(base_arr[1:], skey, side="right").astype(jnp.int32)
+    s_tile = skey - base_arr[jnp.minimum(lev, n_levels)]
+    # slack so per-level bucketed reads stay dynamic_slices (see
+    # deposit_pallas._tile_sort_tail for the bound)
+    n = skey.shape[0]
+    slack = max(n // 2, C)
+    pad1 = lambda a: jnp.pad(a, (0, slack))
+    return (
+        pad1(s_tile), pad1(su), pad1(sv), pad1(sh),
+        jnp.pad(s_values, ((0, 0), (0, slack))), counts,
+    )
+
+
+@lru_cache(maxsize=256)
+def _cached_stage_b(bm, n_fields, bases, n_levels, n_rows, C, T):
+    fn = partial(
+        _tail_sort, bm=bm, n_fields=n_fields, bases=bases,
+        n_levels=n_levels, n_rows=n_rows, C=C, T=T,
+    )
+    return jax.jit(fn)
+
+
+def tile_particles_coherent(
+    x, y, h, values, spec: MapSpec,
+    *,
+    kernel: str = "cubic_spline",
+    levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
+    d_max: int = _D_MAX,
+) -> CoherentLayout:
+    """Build the coherent-order layout (two small host syncs: candidate /
+    routed-row counts, then routed-tail level counts)."""
+    kspec = get_kernel(kernel)
+    values, _ = _as_field_matrix(values)
+    if values.shape[0] > 4:
+        raise ValueError(
+            "coherent deposit carries at most 4 fields (the key channel "
+            "uses the 8th slot); use the sorted engine for more"
+        )
+    n_valid = int(values.shape[1])
+    pad_h = 0.1 * min(spec.pixel_size)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
+    n = int(h.shape[0])
+    C = _CHUNK
+    if n % C:
+        raise AssertionError("pow2 padding must be chunk-aligned")
+    n_rows = n // C
+
+    geoms: list[Optional[_LevelGeometry]] = []
+    for cfg in levels:
+        try:
+            geoms.append(_level_geometry(cfg, spec))
+        except ValueError:
+            geoms.append(None)
+    if geoms[0] is None:
+        raise ValueError(
+            "coherent deposit requires the smallest footprint level to tile "
+            "the map"
+        )
+    bases = _ckey_bases(geoms)
+    bounds = tuple(
+        (g.cfg.max_s_pix if g is not None else -1.0) for g in geoms
+    )
+    geom_tuples = (
+        tuple(g.n_tiles_x if g else 1 for g in geoms),
+        tuple(g.cfg.TY if g else 1 for g in geoms),
+        tuple(g.tx if g else 1 for g in geoms),
+        tuple(g.n_tiles_y if g else 1 for g in geoms),
+        tuple(g.cfg.M if g else 0 for g in geoms),
+    )
+    extent = tuple(float(e) for e in spec.extent)
+    n_fields = values.shape[0]
+
+    packed, sk, sr, routed_rows, coherent, counts = _cached_stage_a(
+        spec.shape, extent, spec.periodic_wrap, bounds, geom_tuples,
+        kspec.support_factor, n_fields, len(levels), bases, d_max, n_rows, C,
+    )(x, y, h, values)
+    n_cand, n_routed, n_slab_tail = (int(v) for v in np.asarray(counts))  # host sync 1
+
+    b0 = max(1, _next_pow2(n_cand)) if n_cand else 0
+    cand_tile = cand_rowv = None
+    if b0:
+        n_tiles0 = geoms[0].n_tiles
+        ck = jax.lax.dynamic_slice(sk, (0,), (b0,))
+        live = jnp.arange(b0) < n_cand
+        cand_tile = jnp.where(live, ck, n_tiles0).astype(jnp.int32)
+        cand_rowv = jnp.where(
+            live, jax.lax.dynamic_slice(sr, (0,), (b0,)), 0
+        ).astype(jnp.int32)
+
+    tail = None
+    tail_metas: tuple = ()
+    n_tail_oversize = 0
+    n_tail_sorted = 0
+    if n_routed or n_slab_tail:
+        bm = max(1, _next_pow2(max(1, n_routed)))
+        t_tile, tu, tv, th, t_values, lcounts = _cached_stage_b(
+            bm, n_fields, bases, len(levels), n_rows, C, _TAIL_SLAB
+        )(packed, routed_rows, jnp.int32(n_routed), coherent)
+        lc = np.asarray(lcounts)  # host sync 2
+        metas = []
+        lo = 0
+        for li, g in enumerate(geoms):
+            c = int(lc[li])
+            if g is not None and c > 0:
+                metas.append((g, lo, max(C, _next_pow2(c)), c))
+            lo += c
+        tail_metas = tuple(metas)
+        n_tail_oversize = int(lc[len(geoms)])
+        n_tail_sorted = int(lc.sum())
+        tail = (tu, tv, th, t_values, t_tile)
+
+    n_coh_rows = n_rows - n_routed
+    return CoherentLayout(
+        spec=spec, kernel=kernel, geom0=geoms[0], packed=packed,
+        cand_tile=cand_tile, cand_row=cand_rowv, n_cand=n_cand,
+        tail=tail, tail_metas=tail_metas, n_tail_oversize=n_tail_oversize,
+        n_tail_sorted=n_tail_sorted, n_fields=n_fields, n_valid=n_valid,
+        stats={
+            "n_rows": n_rows,
+            "coherent_rows": n_coh_rows,
+            "coherent_fraction": n_coh_rows / max(1, n_rows),
+            "n_candidates": n_cand,
+            "candidates_per_coherent_row": n_cand / max(1, n_coh_rows),
+            "slab_tail_particles": n_slab_tail,
+            "routed_particles": n_tail_sorted,
+        },
+    )
+
+
+def _deposit_kernel_coherent(
+    sched_ref,  # (n_steps,) packed: work << 30 | tile << row_bits | row
+    chunk_ref,  # (1, 8, C) row-sorted channel block (read in place)
+    acc_ref,  # (1, F*R, S)
+    *,
+    cfg: PallasDepositConfig,
+    C: int,
+    n_fields: int,
+    row_bits: int,
+    kernel_name: str,
+    support_factor: float,
+    psx: float,
+    psy: float,
+    offset: float,
+    precision: str,
+    projection: str,
+    cheb: tuple[float, ...],
+):
+    s = pl.program_id(0)
+    word = sched_ref[s]
+    tile_of = lambda w: (w >> row_bits) & ((1 << (30 - row_bits)) - 1)
+    t = tile_of(word)
+    t_prev = tile_of(sched_ref[jnp.maximum(s - 1, 0)])
+    first = (s == 0) | (t != t_prev)
+    work = (word >> 30) & 1
+    kernel = get_kernel(kernel_name)
+
+    @pl.when(first)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(work == 1)
+    def _work():
+        data = chunk_ref[0]
+        # lanes of other tiles/levels in this row are masked by key match;
+        # ckey values are < 2^24, exact in the f32 channel
+        key_chan = data[3 + n_fields : 4 + n_fields, :]
+        valid = key_chan == t.astype(jnp.float32)
+        acc_ref[0] += _chunk_contrib(
+            data, valid, cfg=cfg, C=C, n_fields=n_fields,
+            kernel=kernel, support_factor=support_factor, psx=psx, psy=psy,
+            offset=offset, precision=precision, projection=projection,
+            cheb=cheb,
+        )
+
+
+@lru_cache(maxsize=256)
+def _cached_coherent_call(
+    cfg, n_tiles, n_steps, n_rows, n_fields, row_bits,
+    kernel, support_factor, psx, psy, offset, precision, interpret, projection,
+):
+    def in_idx(s, sched):
+        row = sched[s] & ((1 << row_bits) - 1)
+        return (jnp.clip(row, 0, n_rows - 1), 0, 0)
+
+    def out_idx(s, sched):
+        t = (sched[s] >> row_bits) & ((1 << (30 - row_bits)) - 1)
+        return (jnp.clip(t, 0, n_tiles - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec((1, 8, _CHUNK), in_idx)],
+        out_specs=pl.BlockSpec((1, n_fields * cfg.R, cfg.S), out_idx),
+    )
+    kern = partial(
+        _deposit_kernel_coherent,
+        cfg=cfg, C=_CHUNK, n_fields=n_fields, row_bits=row_bits,
+        kernel_name=kernel, support_factor=support_factor, psx=psx, psy=psy,
+        offset=offset, precision=precision, projection=projection,
+        cheb=(
+            integrated_kernel_chebyshev(kernel)
+            if projection == "integrated"
+            else ()
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_fields * cfg.R, cfg.S), jnp.float32
+        ),
+        interpret=interpret,
+    )
+
+
+def _coherent_schedule(cand_tile, cand_row, n_tiles: int, n_steps: int,
+                       row_bits: int):
+    """Packed (work, tile, row) schedule words over tile-sorted candidates.
+    Empty tiles get one non-work step so their accumulator block is zeroed
+    (trailing dead steps re-target the last tile with no effect)."""
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    cstart = jnp.searchsorted(cand_tile, tile_range).astype(jnp.int32)
+    cend = jnp.searchsorted(cand_tile, tile_range, side="right").astype(jnp.int32)
+    nch = cend - cstart
+    nch1 = jnp.maximum(nch, 1)
+    cum = jnp.cumsum(nch1)
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
+    tile = jnp.searchsorted(cum, steps, side="right").astype(jnp.int32)
+    live = tile < n_tiles
+    tile_c = jnp.minimum(tile, n_tiles - 1)
+    tile_off = (cum - nch1).astype(jnp.int32)
+    j_in = steps - tile_off[tile_c]
+    work = live & (j_in < nch[tile_c])
+    ci = jnp.clip(cstart[tile_c] + j_in, 0, cand_tile.shape[0] - 1)
+    row = jnp.where(work, cand_row[ci], 0)
+    return (
+        (work.astype(jnp.int32) << 30)
+        | (tile_c << row_bits)
+        | row
+    ).astype(jnp.int32)
+
+
+def _coherent_body(
+    packed, cand_tile, cand_row, tail, tail_los, tail_counts,
+    *,
+    geom0, shape, extent, periodic, offset, n_fields,
+    kernel, support_factor, precision, interpret, projection,
+    b0, n_rows, tail_metas_static,
+):
+    from .deposit_pallas import _overlap_add
+
+    ny, nx = shape
+    x0, x1, y0, y1 = extent
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    total = jnp.zeros((n_fields, ny, nx), jnp.float32)
+
+    if b0:
+        cfg, tx = geom0.cfg, geom0.tx
+        n_tiles = geom0.n_tiles
+        row_bits = max(1, (max(1, n_rows - 1)).bit_length())
+        tile_bits = max(1, n_tiles.bit_length())
+        if row_bits + tile_bits > 30:
+            raise ValueError(
+                "coherent schedule word overflow (particle count x tile "
+                "count too large); use the sorted engine"
+            )
+        n_steps = b0 + n_tiles
+        sched = _coherent_schedule(cand_tile, cand_row, n_tiles, n_steps, row_bits)
+        tiles = _cached_coherent_call(
+            cfg, n_tiles, n_steps, n_rows, n_fields, row_bits,
+            kernel, support_factor, psx, psy, offset, precision, interpret,
+            projection,
+        )(sched, packed)
+        total = total + _overlap_add(
+            tiles, cfg, tx, geom0.n_tiles_y, geom0.n_tiles_x, n_fields,
+            ny, nx, periodic,
+        )
+
+    if tail is not None:
+        tu, tv, th, t_values, t_tile = tail
+        for i, (geom, bucket) in enumerate(tail_metas_static):
+            total = total + _layout_level_body(
+                geom, shape, extent, periodic, offset, n_fields, kernel,
+                support_factor, precision, interpret, bucket, projection,
+                tu, tv, th, t_values, t_tile, tail_los[i], tail_counts[i],
+            )
+    return total
+
+
+@lru_cache(maxsize=256)
+def _cached_coherent_render(
+    geom0, shape, extent, periodic, offset, n_fields, kernel,
+    support_factor, precision, interpret, projection, b0, n_rows,
+    tail_metas_static, has_tail,
+):
+    def run(packed, cand_tile, cand_row, tail, tail_los, tail_counts):
+        return _coherent_body(
+            packed, cand_tile, cand_row, tail if has_tail else None,
+            tail_los, tail_counts,
+            geom0=geom0, shape=shape, extent=extent, periodic=periodic,
+            offset=offset, n_fields=n_fields, kernel=kernel,
+            support_factor=support_factor, precision=precision,
+            interpret=interpret, projection=projection, b0=b0, n_rows=n_rows,
+            tail_metas_static=tail_metas_static,
+        )
+
+    return jax.jit(run)
+
+
+def deposit_coherent(
+    layout: CoherentLayout,
+    *,
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
+    projection: str = "kernel3d",
+) -> Array:
+    """Render the full adaptive map stack from a :class:`CoherentLayout`.
+    Returns (F, ny, nx)."""
+    _check_precision(precision)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = layout.spec
+    ny, nx = spec.shape
+    b0 = int(layout.cand_tile.shape[0]) if layout.cand_tile is not None else 0
+    n_rows = int(layout.packed.shape[0])
+    metas_static = tuple((m[0], m[2]) for m in layout.tail_metas)
+    has_tail = layout.tail is not None and bool(layout.tail_metas)
+
+    dummy = jnp.zeros((1,), jnp.int32)
+    tail = layout.tail if has_tail else (dummy, dummy, dummy, dummy, dummy)
+    los = jnp.asarray(
+        [int(m[1]) for m in layout.tail_metas] or [0], jnp.int32
+    )
+    cnts = jnp.asarray(
+        [int(m[3]) for m in layout.tail_metas] or [0], jnp.int32
+    )
+    total = _cached_coherent_render(
+        layout.geom0, spec.shape, tuple(float(e) for e in spec.extent),
+        spec.periodic_wrap, spec.sample_offset, layout.n_fields,
+        layout.kernel, get_kernel(layout.kernel).support_factor, precision,
+        interpret, projection, b0, n_rows, metas_static, has_tail,
+    )(
+        layout.packed,
+        layout.cand_tile if b0 else jnp.zeros((1,), jnp.int32),
+        layout.cand_row if b0 else jnp.zeros((1,), jnp.int32),
+        tail, los, cnts,
+    )
+
+    if layout.n_tail_oversize:
+        from .deposit import deposit_2d  # late import: sibling module
+
+        tu, tv, th, t_values, _ = layout.tail
+        x0, x1, y0, y1 = spec.extent
+        psx = (x1 - x0) / nx
+        psy = (y1 - y0) / ny
+        sl = slice(
+            layout.n_tail_sorted - layout.n_tail_oversize, layout.n_tail_sorted
+        )
+        xo = np.asarray(tu[sl]) * psx + x0
+        yo = np.asarray(tv[sl]) * psy + y0
+        ho = np.asarray(th[sl])
+        vo = np.asarray(t_values[:, sl])
+        img = deposit_2d(
+            xo, yo, ho, vo.T, spec, kernel=layout.kernel, projection=projection
+        )
+        total = total + jnp.moveaxis(
+            img if img.ndim == 3 else img[..., None], -1, 0
+        )
+    return total
+
+
+def deposit_2d_coherent(
+    x, y, h, values, spec: MapSpec,
+    *,
+    kernel: str = "cubic_spline",
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
+    projection: str = "kernel3d",
+    d_max: int = _D_MAX,
+):
+    """Adaptive-h deposit for snapshot-ordered input: coherent rows deposit
+    in place (no global sort), the rest route through the sorted pipeline.
+    Correct for any input order; fastest when consecutive particles are
+    spatially adjacent. Returns (ny, nx) or (F, ny, nx)."""
+    values, single = _as_field_matrix(values)
+    layout = tile_particles_coherent(
+        x, y, h, values, spec, kernel=kernel, d_max=d_max
+    )
+    total = deposit_coherent(
+        layout, precision=precision, interpret=interpret, projection=projection
+    )
+    return total[0] if single else total

@@ -174,99 +174,141 @@ def _deposit_kernel(
     @pl.when(work == 1)
     def _work():
         data = chunk_ref[0]  # (8, C)
-        # TILE-LOCAL pixel coordinates (relative to the particle's own tile's
-        # extended origin, magnitude <= TY/tx + K): storing GLOBAL pixel
-        # coordinates cost ~6e-5 px of f32 quantization at 1024^2 — enough to
-        # bust the 1e-5 fidelity budget for sub-pixel smoothing lengths.
-        # Every particle this step contributes belongs to tile t (the valid
-        # mask below), so its local frame is this tile's frame.
-        u_loc = data[0:1, :]  # (1, C)
-        v_loc = data[1:2, :]
-        h = data[2:3, :]  # world-unit smoothing length
-
         # validity: this chunk window may over-read neighbours' particles;
-        # padded lanes carry h = 0 whose NaN weights are also masked here
+        # the mask is folded into the per-particle value factors below
         base = (block_start_ref[t] + (s - tile_off_ref[t])) * C
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         gidx = base + lane
         valid = (gidx >= pstart_ref[t]) & (gidx < pstart_ref[t] + pcount_ref[t])
-
-        # column window start (extended-tile coords), (1, C)
-        col0 = jnp.floor(u_loc - offset + 0.5).astype(jnp.int32) - (K // 2)
-
-        # dy over (R, C): world-unit y offsets of every accumulator row
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0).astype(jnp.float32)
-        dyp = (r_iota + offset - v_loc) * psy
-        dy2 = dyp * dyp
-
-        # particle-major copies for the placement matrix (C in sublanes)
-        col0_s = col0.reshape(C, 1)
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
-
-        vals = data[3 : 3 + n_fields, :]  # (F, C)
-
-        # Per column offset k: weights (F*R, C) and one-hot placement (C, S),
-        # accumulated over a fori_loop (keeps Mosaic compile size flat in K —
-        # a fully unrolled+concatenated variant compiled ~10x slower).
-        # NOTE on matmul precision: one-hot operands are exact in bf16, and
-        # TPU f32 dots default to bf16 multiplication, so 'f32' must request
-        # Precision.HIGHEST explicitly.
-        def k_step(k, contrib):
-            dxk = ((col0 + k).astype(jnp.float32) + offset - u_loc) * psx  # (1, C)
-            r2 = dy2 + dxk * dxk
-            if projection == "integrated":
-                # physically-correct column: line-integrated kernel Y(b, h)
-                # via the gather-free Clenshaw fit (see kernels.splines)
-                sh = support_factor * h
-                tq = r2 / (sh * sh)
-                yv = clenshaw(2.0 * jnp.clip(tq, 0.0, 1.0) - 1.0, cheb)
-                wk = jnp.where(tq < 1.0, yv / (h * h), 0.0)
-            else:
-                # reference convention: 3D kernel at the projected radius
-                # (_pixel_calculations.pyx:32-33)
-                wk = kernel.w(jnp.sqrt(r2), h)  # zero outside support
-            wk = jnp.where(valid, wk, 0.0)
-            # field-stacked rows: (F*R, C)
-            w_rows = jnp.concatenate(
-                [wk * vals[f : f + 1, :] for f in range(n_fields)], axis=0
-            )
-            Pk = s_iota == (col0_s + k)  # (C, S) exact one-hot
-            if precision == "f32":
-                return contrib + jnp.dot(
-                    w_rows, Pk.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            if precision == "bf16":
-                return contrib + jnp.dot(
-                    w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-            # bf16x2 / bf16x3: exact placement, split weights into bf16
-            # limbs (hi + residuals). Two limbs carry ~16 mantissa bits —
-            # a ~2^-17 per-contribution floor that a single sub-pixel
-            # particle's pixel exposes directly (measured 1.06e-5 on the
-            # adaptive mix); the third limb brings the floor to ~2^-25.
-            Pb = Pk.astype(jnp.bfloat16)
-            hi = w_rows.astype(jnp.bfloat16)
-            r1 = w_rows - hi.astype(jnp.float32)
-            lo = r1.astype(jnp.bfloat16)
-            contrib = (
-                contrib
-                + jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
-                + jnp.dot(lo, Pb, preferred_element_type=jnp.float32)
-            )
-            if precision == "bf16x3":
-                l3 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
-                contrib = contrib + jnp.dot(
-                    l3, Pb, preferred_element_type=jnp.float32
-                )
-            return contrib
-
-        contrib = jax.lax.fori_loop(
-            0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
+        acc_ref[0] += _chunk_contrib(
+            data, valid, cfg=cfg, C=C, n_fields=n_fields,
+            kernel=kernel, support_factor=support_factor, psx=psx, psy=psy,
+            offset=offset, precision=precision, projection=projection,
+            cheb=cheb,
         )
-        acc_ref[0] += contrib
+
+
+def _chunk_contrib(
+    data,  # (8, C) channel block: [u, v, h, val0..val_{F-1}, ...]
+    valid,  # (1, C) bool — which lanes belong to the step's tile
+    *,
+    cfg: PallasDepositConfig,
+    C: int,
+    n_fields: int,
+    kernel,
+    support_factor: float,
+    psx: float,
+    psy: float,
+    offset: float,
+    precision: str,
+    projection: str,
+    cheb: tuple[float, ...],
+):
+    """Contribution of one chunk of C particles to one tile's (F*R, S)
+    extended accumulator — shared by the sorted-layout and coherent-order
+    deposit kernels (which differ only in how they derive ``valid`` and
+    which chunk row each step reads).
+
+    TILE-LOCAL pixel coordinates (relative to the particle's own tile's
+    extended origin, magnitude <= TY/tx + K): storing GLOBAL pixel
+    coordinates cost ~6e-5 px of f32 quantization at 1024^2 — enough to
+    bust the 1e-5 fidelity budget for sub-pixel smoothing lengths. Every
+    particle this step deposits belongs to the step's tile (the valid
+    mask), so its local frame is this tile's frame.
+    """
+    K, R, S = cfg.K, cfg.R, cfg.S
+    u_loc = data[0:1, :]  # (1, C)
+    v_loc = data[1:2, :]
+    h = data[2:3, :]  # world-unit smoothing length
+
+    # column window start (extended-tile coords), (1, C)
+    col0 = jnp.floor(u_loc - offset + 0.5).astype(jnp.int32) - (K // 2)
+
+    # Everything per-particle — 1/h, the kernel normalisation, the
+    # validity mask — is hoisted to (1, C) factors so the (R, C)
+    # footprint block sees only divide-free polynomial work:
+    # W(r, h) * val = shape_q(r/h) * [val * norm / h^3] (kernels.splines)
+    inv_h = jnp.where(h > 0.0, 1.0 / h, 0.0)  # (1, C); pads carry h=0
+    vals = data[3 : 3 + n_fields, :]  # (F, C)
+    if projection == "integrated":
+        # line-integrated kernel: Y(b, h) = y(b/(S h)) / h^2
+        inv_n = inv_h * (1.0 / support_factor)
+        val_scale = inv_h * inv_h
+    else:
+        inv_n = inv_h
+        val_scale = (kernel.norm_3d * inv_h) * (inv_h * inv_h)
+    vals_eff = jnp.where(valid, vals * val_scale, 0.0)  # (F, C)
+
+    # normalized dy over (R, C): q_y = dy / h (or dy / (S h) integrated)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0).astype(jnp.float32)
+    dyn = (r_iota + offset - v_loc) * (psy * inv_n)
+    dy2n = dyn * dyn
+
+    # particle-major copies for the placement matrix (C in sublanes)
+    col0_s = col0.reshape(C, 1)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+
+    # Per column offset k: weights (F*R, C) and one-hot placement (C, S),
+    # accumulated over a fori_loop (keeps Mosaic compile size flat in K —
+    # a fully unrolled+concatenated variant compiled ~10x slower).
+    # NOTE on matmul precision: one-hot operands are exact in bf16, and
+    # TPU f32 dots default to bf16 multiplication, so 'f32' must request
+    # Precision.HIGHEST explicitly.
+    def k_step(k, contrib):
+        dxn = ((col0 + k).astype(jnp.float32) + offset - u_loc) * (psx * inv_n)
+        q2 = dy2n + dxn * dxn  # (R, C)
+        if projection == "integrated":
+            # physically-correct column: line-integrated kernel Y(b, h)
+            # via the gather-free Clenshaw fit (see kernels.splines);
+            # q2 here is (b / (S h))^2
+            yv = clenshaw(2.0 * jnp.clip(q2, 0.0, 1.0) - 1.0, cheb)
+            wk = jnp.where(q2 < 1.0, yv, 0.0)
+        else:
+            # reference convention: 3D kernel at the projected radius
+            # (_pixel_calculations.pyx:32-33); shape is zero outside
+            # support, so no extra mask is needed
+            wk = kernel.shape_q(jnp.sqrt(q2))
+        # field-stacked rows: (F*R, C)
+        w_rows = jnp.concatenate(
+            [wk * vals_eff[f : f + 1, :] for f in range(n_fields)], axis=0
+        )
+        Pk = s_iota == (col0_s + k)  # (C, S) exact one-hot
+        if precision == "f32":
+            return contrib + jnp.dot(
+                w_rows, Pk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        if precision == "bf16":
+            return contrib + jnp.dot(
+                w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        # bf16x2 / bf16x3: exact placement, split weights into bf16
+        # limbs (hi + residuals). Two limbs carry ~16 mantissa bits —
+        # a ~2^-17 per-contribution floor that a single sub-pixel
+        # particle's pixel exposes directly (measured 1.06e-5 on the
+        # adaptive mix); the third limb brings the floor to ~2^-25.
+        Pb = Pk.astype(jnp.bfloat16)
+        hi = w_rows.astype(jnp.bfloat16)
+        r1 = w_rows - hi.astype(jnp.float32)
+        lo = r1.astype(jnp.bfloat16)
+        contrib = (
+            contrib
+            + jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, Pb, preferred_element_type=jnp.float32)
+        )
+        if precision == "bf16x3":
+            l3 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+            contrib = contrib + jnp.dot(
+                l3, Pb, preferred_element_type=jnp.float32
+            )
+        return contrib
+
+    return jax.lax.fori_loop(
+        0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
+    )
+
 
 
 def _overlap_add(

@@ -1,0 +1,139 @@
+"""Coherent-order deposit engine: equivalence to the sorted engine, oracle
+fidelity, row classification, and degradation on incoherent input."""
+
+import numpy as np
+import pytest
+
+from astro_sph_tools_tpu.ops.deposit import MapSpec
+from astro_sph_tools_tpu.ops.deposit_coherent import (
+    deposit_2d_coherent,
+    deposit_coherent,
+    tile_particles_coherent,
+)
+from astro_sph_tools_tpu.ops.deposit_pallas import deposit_2d_auto
+
+from oracles import project_oracle
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def _coherent_set(rng, n, box, px, h_sigma=0.6, h_clip=12.0):
+    """Cell-ordered (snapshot-like) clustered particles with density-
+    correlated smoothing lengths."""
+    cx = rng.uniform(0, box, n)
+    cy = rng.uniform(0, box, n)
+    cell = (
+        np.floor(cy / (box / 32)).astype(int) * 32
+        + np.floor(cx / (box / 32)).astype(int)
+    )
+    order = np.argsort(cell, kind="stable")
+    x, y = cx[order].astype(np.float32), cy[order].astype(np.float32)
+    dens = rng.uniform(0.3, 3.0, 1024)[cell[order]]
+    h = np.clip(
+        0.6 * px * dens ** (-1 / 3) * np.exp(h_sigma * rng.normal(size=n)),
+        0.05 * px,
+        h_clip * px,
+    ).astype(np.float32)
+    m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    return x, y, h, m
+
+
+class TestCoherentEngine:
+    def test_matches_sorted_engine_multilevel(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 128
+        x, y, h, m = _coherent_set(rng, 60000, box, px)
+        fields = np.stack([m, (m * rng.uniform(1, 2, x.size)).astype(np.float32)])
+        lay = tile_particles_coherent(x, y, h, fields, spec)
+        # snapshot-like order: most rows deposit in place
+        assert lay.stats["coherent_fraction"] > 0.7
+        img_c = np.asarray(deposit_coherent(lay, precision="f32"))
+        img_s = np.asarray(deposit_2d_auto(x, y, h, fields, spec, precision="f32"))
+        assert np.abs(img_c - img_s).max() / np.abs(img_s).max() < 5e-6
+
+    def test_random_order_degrades_to_sorted(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 128
+        x, y, h, m = _coherent_set(rng, 30000, box, px)
+        p = rng.permutation(x.size)
+        fields = np.stack([m])
+        lay = tile_particles_coherent(x[p], y[p], h[p], fields[:, p], spec)
+        # incoherent input: rows route to the sorted tail
+        assert lay.stats["coherent_fraction"] < 0.2
+        img_c = np.asarray(deposit_coherent(lay, precision="f32"))
+        img_s = np.asarray(
+            deposit_2d_auto(x, y, h, fields, spec, precision="f32")
+        )
+        assert np.abs(img_c - img_s).max() / np.abs(img_s).max() < 5e-6
+
+    def test_matches_oracle_nonperiodic(self, rng):
+        box = 8.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box))
+        px = box / 64
+        x, y, h, m = _coherent_set(rng, 12000, box, px, h_clip=8.0)
+        img = np.asarray(deposit_2d_coherent(x, y, h, m, spec, precision="f32"))
+        exp = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        assert np.abs(img - exp).max() / np.abs(exp).max() < 2e-5
+
+    def test_single_field_shape_and_bf16x2(self, rng):
+        box = 8.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 64
+        x, y, h, m = _coherent_set(rng, 8000, box, px)
+        img = np.asarray(deposit_2d_coherent(x, y, h, m, spec, precision="bf16x2"))
+        assert img.shape == (64, 64)
+        exp = project_oracle(
+            x, y, h, m, spec.shape, spec.extent, periodic=True
+        )
+        assert np.abs(img - exp).max() / np.abs(exp).max() < 5e-4  # bf16x2 class
+
+    def test_oversize_fallback(self, rng):
+        box = 8.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box))
+        px = box / 64
+        x, y, h, m = _coherent_set(rng, 6000, box, px)
+        h = h.copy()
+        h[::1500] = 40 * px  # beyond the K=64 window -> dense fallback
+        lay = tile_particles_coherent(x, y, h, np.stack([m]), spec)
+        assert lay.n_tail_oversize > 0
+        img = np.asarray(deposit_coherent(lay, precision="f32"))[0]
+        img_s = np.asarray(
+            deposit_2d_auto(x, y, h, np.stack([m]), spec, precision="f32")
+        )[0]
+        # must take the same dense-fallback path as the sorted engine (the
+        # f32 world-coordinate recovery there carries a shared ~2e-5 class
+        # vs the f64 oracle for huge-h particles)
+        assert np.abs(img - img_s).max() / np.abs(img_s).max() < 1e-6
+        exp = project_oracle(x, y, h, m, spec.shape, spec.extent)
+        assert np.abs(img - exp).max() / np.abs(exp).max() < 5e-5
+
+    def test_too_many_fields_rejected(self, rng):
+        box = 8.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box))
+        x, y, h, m = _coherent_set(rng, 4000, box, box / 64)
+        fields = np.stack([m] * 5)
+        with pytest.raises(ValueError, match="4 fields"):
+            tile_particles_coherent(x, y, h, fields, spec)
+
+    def test_integrated_projection(self, rng):
+        box = 8.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 64
+        x, y, h, m = _coherent_set(rng, 8000, box, px)
+        img_c = np.asarray(
+            deposit_2d_coherent(
+                x, y, h, m, spec, precision="f32", projection="integrated"
+            )
+        )
+        img_s = np.asarray(
+            deposit_2d_auto(
+                x, y, h, np.stack([m]), spec, precision="f32",
+                projection="integrated",
+            )
+        )[0]
+        assert np.abs(img_c - img_s).max() / np.abs(img_s).max() < 5e-6
