@@ -150,3 +150,57 @@ def streamed_deposit_2d(
         image_flat = _stencil_level_pass(image_flat, x, y, h, m, None, **static)
 
     return image_flat.reshape(ny, nx)
+
+
+def stream_macro_chunks(
+    read_chunk,
+    n_chunks: int,
+    *,
+    prefetch_depth: int = 1,
+    to_device=None,
+) -> Iterator:
+    """Macro-chunk pipeline: read + unit-convert + **host->device transfer**
+    of chunk k+1 overlap the device compute of chunk k.
+
+    ``read_chunk(ci)`` returns a pytree of NumPy arrays (an HDF5 macro-chunk
+    read; h5py/numpy release the GIL). The background thread immediately
+    pushes it to the device (``to_device`` hook, default ``jax.device_put``
+    of every leaf), so by the time the consumer asks for chunk k+1 its H2D
+    transfer is already done or in flight — the e2e wall becomes
+    max(transfer, compute) instead of their sum. ``prefetch_depth`` bounds
+    the number of resident in-flight chunks (device memory!).
+
+    The streaming analogue of SURVEY.md §2.8's "thread-level IO overlap"
+    row, replacing per-benchmark ad-hoc reader pools.
+    """
+    import jax
+
+    if to_device is None:
+        def to_device(host):
+            return jax.tree_util.tree_map(jax.device_put, host)
+
+    work: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_depth))
+
+    def producer():
+        try:
+            for ci in range(n_chunks):
+                dev = to_device(read_chunk(ci))
+                work.put(dev)
+            work.put(_SENTINEL)
+        except Exception as err:  # propagate to consumer
+            work.put(err)
+
+    thread = threading.Thread(
+        target=producer, name="ast-macro-prefetch", daemon=True
+    )
+    thread.start()
+    try:
+        while True:
+            item = work.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        thread.join(timeout=1.0)

@@ -167,7 +167,7 @@ def main() -> None:
         periodic_wrap=True,
     )
 
-    from concurrent.futures import ThreadPoolExecutor
+    from astro_sph_tools_tpu.io.prefetch import stream_macro_chunks
 
     def read_chunk(ci):
         snap = SnapshotEAGLE(first, process_index=ci, n_processes=n_chunks)
@@ -177,35 +177,32 @@ def main() -> None:
         hs = snap.get_smoothing_lengths(ParticleType.gas).to_value("Mpc")
         mass = snap.get_masses(ParticleType.gas).to_value("Msun")
         temp = snap.get_temperatures(ParticleType.gas).to_value("K")
-        return pos, hs, mass, temp
-
-    pool = ThreadPoolExecutor(max_workers=1)
+        return (
+            np.ascontiguousarray(pos[:, 0]),
+            np.ascontiguousarray(pos[:, 1]),
+            hs, mass, temp,
+        )
 
     def run_pass():
         t_pass = time.perf_counter()
-        io_s = tile_s = deposit_s = 0.0
+        wait_s = tile_s = deposit_s = 0.0
         total = None
-        # prefetch pipeline: chunk i+1's HDF5 read + unit conversion overlaps
-        # chunk i's H2D + device work (h5py/numpy release the GIL)
-        future = pool.submit(read_chunk, 0)
-        for ci in range(n_chunks):
+        # stream_macro_chunks runs read + unit conversion + the H2D put of
+        # chunk k+1 on a background thread while chunk k sorts/deposits on
+        # the device — the dominant tunnel transfer no longer serializes
+        # with compute (VERDICT r2 item 3; prefetch_depth=1 bounds resident
+        # chunks, HBM holds at most two working sets)
+        stream = stream_macro_chunks(read_chunk, n_chunks, prefetch_depth=1)
+        for ci, (x_d, y_d, hs_d, mass_d, temp_d) in enumerate(stream):
             t0 = time.perf_counter()
-            pos, hs, mass, temp = future.result()
-            if ci + 1 < n_chunks:
-                future = pool.submit(read_chunk, ci + 1)
-            io_s += time.perf_counter() - t0
+            # payload algebra on device: the host's single core is the
+            # scarce resource at this scale
+            values = jnp.stack([mass_d, mass_d * temp_d], axis=0)
+            jax.block_until_ready((x_d, y_d, hs_d, values))
+            wait_s += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            # payload algebra on device: the host's single core is the scarce
-            # resource at this scale
-            mass_d = jnp.asarray(mass)
-            temp_d = jnp.asarray(temp)
-            values = jnp.stack([mass_d, mass_d * temp_d], axis=0)
-            tp = tile_particles(
-                jnp.asarray(np.ascontiguousarray(pos[:, 0])),
-                jnp.asarray(np.ascontiguousarray(pos[:, 1])),
-                jnp.asarray(hs), values, spec,
-            )
+            tp = tile_particles(x_d, y_d, hs_d, values, spec, need_perm=False)
             jax.block_until_ready(tp.sorted_u)
             tile_s += time.perf_counter() - t0
 
@@ -215,17 +212,17 @@ def main() -> None:
             jax.block_until_ready(total)
             deposit_s += time.perf_counter() - t0
             print(
-                f"  chunk {ci + 1}/{n_chunks}: io {io_s:.2f}s tile {tile_s:.2f}s "
+                f"  chunk {ci + 1}/{n_chunks}: wait {wait_s:.2f}s tile {tile_s:.2f}s "
                 f"deposit {deposit_s:.2f}s (cumulative)",
                 flush=True,
             )
-        return total, time.perf_counter() - t_pass, io_s, tile_s, deposit_s
+        return total, time.perf_counter() - t_pass, wait_s, tile_s, deposit_s
 
     # pass 1 pays the axon per-process program-preparation cost (minutes for
     # the big sort executable, regardless of the persistent compile cache);
     # pass 2 is the steady-state wall-clock a resident service would see
     total, cold_wall, *_ = run_pass()
-    total, wall, io_s, tile_s, deposit_s = run_pass()
+    total, wall, io_s, tile_s, deposit_s = run_pass()  # io_s = exposed wait
 
     sigma = np.asarray(total[0])
     mwt = np.asarray(total[1])
