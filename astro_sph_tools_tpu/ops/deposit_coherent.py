@@ -129,7 +129,7 @@ def _assign_and_rowsort(
     ops2 = [to2(ckey), to2(u_loc), to2(v_loc), to2(h)] + [
         to2(values[f]) for f in range(n_fields)
     ]
-    sorted2 = jax.lax.sort(ops2, num_keys=1)
+    sorted2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
     k2 = sorted2[0]
 
     is_first = jnp.concatenate(
@@ -155,7 +155,8 @@ def _assign_and_rowsort(
         jnp.arange(n_rows, dtype=jnp.int32)[:, None], (n_rows, d_max)
     )
     sk, sr = jax.lax.sort(
-        [cand_keys.reshape(-1), cand_rows.reshape(-1)], num_keys=1
+        [cand_keys.reshape(-1), cand_rows.reshape(-1)], num_keys=1,
+        is_stable=False,
     )
     n_cand = jnp.searchsorted(sk, jnp.int32(bases[1])).astype(jnp.int32)
 
@@ -221,7 +222,7 @@ def _tail_sort(packed, routed_rows, n_routed, coherent, *, bm, n_fields,
 
     key = jnp.concatenate([key_s.reshape(-1), key_h])
     ops = [key, chan(0), chan(1), chan(2)] + [chan(3 + f) for f in range(n_fields)]
-    skey, su, sv, sh, *s_vals = jax.lax.sort(ops, num_keys=1)
+    skey, su, sv, sh, *s_vals = jax.lax.sort(ops, num_keys=1, is_stable=False)
     s_values = jnp.stack(s_vals, axis=0)
 
     base_arr = jnp.asarray(bases, jnp.int32)  # (n_levels+1,)

@@ -33,6 +33,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 BUDGET_S = 2.0  # the per-chip north-star wall for 1.25e8 particles
 
 
@@ -119,7 +121,7 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
     return x, y, h, fields
 
 
-def run(n: int, order: str, repeats: int = 3) -> dict:
+def run(n: int, order: str, repeats: int = 3, engine: str = "sorted") -> dict:
     import jax
 
     jax.config.update(
@@ -132,6 +134,10 @@ def run(n: int, order: str, repeats: int = 3) -> dict:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from astro_sph_tools_tpu.ops.deposit import MapSpec
+    from astro_sph_tools_tpu.ops.deposit_coherent import (
+        deposit_coherent,
+        tile_particles_coherent,
+    )
     from astro_sph_tools_tpu.ops.deposit_pallas import deposit_tiled, tile_particles
 
     backend = jax.default_backend()
@@ -143,9 +149,22 @@ def run(n: int, order: str, repeats: int = 3) -> dict:
     x, y, h, fields = build_particles(n, box, shape, order=order)
     gen_s = time.perf_counter() - t0
 
+    if engine == "coherent":
+        def build(*a):
+            return tile_particles_coherent(*a)
+
+        def render(tp):
+            return deposit_coherent(tp, precision="bf16x2")
+    else:
+        def build(*a):
+            return tile_particles(*a, need_perm=False)
+
+        def render(tp):
+            return deposit_tiled(tp, precision="bf16x2")
+
     def full():
-        tp = tile_particles(x, y, h, fields, spec, need_perm=False)
-        return tp, deposit_tiled(tp, precision="bf16x2")
+        tp = build(x, y, h, fields, spec)
+        return tp, render(tp)
 
     # warm (compile + program prepare)
     t0 = time.perf_counter()
@@ -153,8 +172,12 @@ def run(n: int, order: str, repeats: int = 3) -> dict:
     jax.block_until_ready(out)
     _ = float(out[0].sum())
     warm_s = time.perf_counter() - t0
-    level_counts = {f"K={meta[0].cfg.K}": int(meta[3]) for meta in tp.geoms}
-    n_oversize = int(tp.n_oversize)
+    if engine == "coherent":
+        level_counts = dict(tp.stats)
+        n_oversize = int(tp.n_tail_oversize)
+    else:
+        level_counts = {f"K={meta[0].cfg.K}": int(meta[3]) for meta in tp.geoms}
+        n_oversize = int(tp.n_oversize)
 
     # steady timing: host round-trip closes each window (the axon tunnel can
     # satisfy block_until_ready early); best-of-N rides out dispatch stalls
@@ -166,12 +189,14 @@ def run(n: int, order: str, repeats: int = 3) -> dict:
         wall = min(wall, time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        tp = tile_particles(x, y, h, fields, spec, need_perm=False)
-        _ = float(tp.sorted_u[-1])
+        tp = build(x, y, h, fields, spec)
+        _ = float(
+            tp.packed[0, 0, 0] if engine == "coherent" else tp.sorted_u[-1]
+        )
         phase_layout = min(phase_layout, time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        out = deposit_tiled(tp, precision="bf16x2")
+        out = render(tp)
         _ = float(out[0].sum())
         phase_deposit = min(phase_deposit, time.perf_counter() - t0)
 
@@ -179,6 +204,7 @@ def run(n: int, order: str, repeats: int = 3) -> dict:
         "metric": "north-star per-chip proxy: adaptive 1024^2 2-field render wall",
         "n_particles": n,
         "order": order,
+        "engine": engine,
         "wall_s": round(wall, 4),
         "budget_s": BUDGET_S,
         "pass": bool(wall < BUDGET_S and n >= 1.25e8),
@@ -197,12 +223,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 27)
     ap.add_argument("--order", choices=("morton", "random", "both"), default="morton")
+    ap.add_argument("--engine", choices=("sorted", "coherent"), default="sorted")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     orders = ("morton", "random") if args.order == "both" else (args.order,)
-    results = [run(args.n, o, args.repeats) for o in orders]
+    results = [run(args.n, o, args.repeats, args.engine) for o in orders]
     payload = results[0] if len(results) == 1 else {**results[0], "random_order": results[1]}
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "NORTHSTAR.json"
