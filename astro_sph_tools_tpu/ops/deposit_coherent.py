@@ -181,7 +181,7 @@ def _assign_and_rowsort(
 @lru_cache(maxsize=256)
 def _cached_stage_a(
     shape, extent, periodic, bounds, geom_tuples, support_factor, n_fields,
-    n_levels, bases, d_max, n_rows, C,
+    n_levels, bases, d_max, n_rows, C, donate=False,
 ):
     fn = partial(
         _assign_and_rowsort,
@@ -190,7 +190,7 @@ def _cached_stage_a(
         n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
         n_rows=n_rows, C=C,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0, 1, 2, 3) if donate else ())
 
 
 def _tail_sort(packed, routed_rows, n_routed, coherent, *, bm, n_fields,
@@ -262,6 +262,7 @@ def tile_particles_coherent(
     kernel: str = "cubic_spline",
     levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
     d_max: int = _D_MAX,
+    donate: bool = False,
 ) -> CoherentLayout:
     """Build the coherent-order layout (two small host syncs: candidate /
     routed-row counts, then routed-tail level counts)."""
@@ -312,6 +313,7 @@ def tile_particles_coherent(
     packed, sk, sr, routed_rows, coherent, counts = _cached_stage_a(
         spec.shape, extent, spec.periodic_wrap, bounds, geom_tuples,
         kspec.support_factor, n_fields, len(levels), bases, d_max, n_rows, C,
+        donate,
     )(x, y, h, values)
     n_cand, n_routed, n_slab_tail = (int(v) for v in np.asarray(counts))  # host sync 1
 

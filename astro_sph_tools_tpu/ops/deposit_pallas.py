@@ -828,6 +828,7 @@ def tile_particles(
     kernel: str = "cubic_spline",
     levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
     need_perm: bool = True,
+    donate: bool = False,
 ) -> TiledParticles:
     """Build the device-resident multi-level layout with ONE fused sort.
 
@@ -932,7 +933,7 @@ def tile_particles(
         sorted_key, su, sv, sh, s_values, perm, counts = _cached_tile_sort(
             spec.shape, extent, spec.periodic_wrap,
             bounds, *geom_tuples,
-            kspec.support_factor, n_fields, need_perm,
+            kspec.support_factor, n_fields, need_perm, donate,
         )(x, y, h, values)
 
     counts_host = np.asarray(counts)  # host sync: len(levels)+1 ints
@@ -1024,11 +1025,13 @@ def _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields,
 @lru_cache(maxsize=256)
 def _cached_tile_sort(
     shape, extent, periodic, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t,
-    m_t, support_factor, n_fields, need_perm=True,
+    m_t, support_factor, n_fields, need_perm=True, donate=False,
 ):
+    """``donate=True`` lets XLA reuse the caller's input buffers as sort
+    scratch — at 1e8-particle scale the layout + sort double-buffers brush
+    the 16 GB HBM without it. Callers' arrays are invalidated."""
     n_levels = len(bounds)
 
-    @jax.jit
     def run(x, y, h, values):
         ny, nx = shape
         x0, x1, y0, y1 = extent
@@ -1048,7 +1051,7 @@ def _cached_tile_sort(
             key, u_loc, v_loc, h, values, n_levels, n_fields, need_perm
         )
 
-    return run
+    return jax.jit(run, donate_argnums=(0, 1, 2, 3) if donate else ())
 
 
 @lru_cache(maxsize=64)

@@ -410,14 +410,21 @@ def _columns_kernel(
         gidx = base + lane
         live = (gidx >= ulo_ref[u]) & (gidx < uhi_ref[u])  # (1, C)
 
-        sh = S * hs
+        # hoist 1/h and the normalisation to (1, C) per-particle factors;
+        # the (B, C) pair block stays divide-free (see deposit_pallas).
+        # The support-and-live mask wraps the MULTIPLY: padding particles
+        # carry h = 1e-20 whose inv_h^2/inv_h^3 overflow to inf, and an
+        # unmasked 0 * inf would leak NaN into the lane reduction.
+        inv_h = jnp.where(hs > 0.0, 1.0 / hs, 0.0)
         if projection == "integrated":
-            tq = b2 / (sh * sh)
+            inv_sh = inv_h * (1.0 / S)
+            tq = b2 * (inv_sh * inv_sh)
             y = clenshaw(2.0 * jnp.clip(tq, 0.0, 1.0) - 1.0, cheb)
-            w = jnp.where((tq < 1.0) & live, y / (hs * hs), 0.0)
+            w = jnp.where((tq < 1.0) & live, y * (inv_h * inv_h), 0.0)
         else:
-            w = kernel.w(jnp.sqrt(b2), hs)
-            w = jnp.where((b2 < sh * sh) & live, w, 0.0)
+            qn = jnp.sqrt(b2) * inv_h
+            fac = (kernel.norm_3d * inv_h) * (inv_h * inv_h)
+            w = jnp.where((qn < S) & live, kernel.shape_q(qn) * fac, 0.0)
 
         for f in range(n_fields):
             red = jnp.sum(w * data[3 + f : 4 + f, :], axis=1, keepdims=True)
