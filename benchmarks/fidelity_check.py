@@ -45,6 +45,7 @@ def main() -> None:
     box = 25.0
     shape = (1024, 1024)
     spec = MapSpec(shape=shape, extent=(0.0, box, 0.0, box))
+    spec_p = MapSpec(shape=shape, extent=(0.0, box, 0.0, box), periodic_wrap=True)
     px = box / shape[0]
     rng = np.random.default_rng(99)
 
@@ -209,6 +210,44 @@ def main() -> None:
             "n_particles": n_s,
             "max_rel_err": float(
                 np.abs(got_tau - exp_tau).max() / np.abs(exp_tau).max()
+            ),
+        }
+    )
+    print(cases[-1], flush=True)
+
+    # coherent-order engine vs the sorted engine, COMPILED (the bench
+    # headline engine; interpret-mode CPU tests cannot catch Mosaic-only
+    # failures). Identical math -> f32-reorder-class agreement expected.
+    from astro_sph_tools_tpu.ops.deposit_coherent import deposit_2d_coherent
+
+    n_c = 1 << 21
+    rngc = np.random.default_rng(23)
+    xc = rngc.uniform(0, box, n_c)
+    yc = rngc.uniform(0, box, n_c)
+    order = np.argsort(
+        (np.floor(yc / (box / 64)).astype(int) * 64
+         + np.floor(xc / (box / 64)).astype(int)),
+        kind="stable",
+    )
+    xc, yc = xc[order].astype(np.float32), yc[order].astype(np.float32)
+    hc = np.clip(
+        np.exp(rngc.normal(np.log(0.6 * px), 0.6, n_c)), 0.05 * px, 12 * px
+    ).astype(np.float32)
+    mc = rngc.uniform(0.5, 2.0, n_c).astype(np.float32)
+    img_coh = np.asarray(
+        deposit_2d_coherent(xc, yc, hc, mc, spec_p, precision="bf16x2")
+    )
+    img_srt = np.asarray(
+        deposit_2d_auto(xc, yc, hc, np.stack([mc]), spec_p, precision="bf16x2")
+    )[0]
+    cases.append(
+        {
+            "case": "coherent-order engine vs sorted engine (compiled, "
+            "identical inputs)",
+            "precision": "bf16x2",
+            "n_particles": n_c,
+            "max_rel_err": float(
+                np.abs(img_coh - img_srt).max() / np.abs(img_srt).max()
             ),
         }
     )
