@@ -125,13 +125,24 @@ def render_map_stack(
                 pos[:, i], pos[:, j], h, values, spec, kernel=kernel,
                 projection=projection,
             )
+        elif engine == "coherent":
+            # snapshot-order engine: fastest for on-disk particle order
+            # (Peano-Hilbert curves); exact for any order. Max 4 fields.
+            from .ops.deposit_coherent import deposit_2d_coherent
+
+            maps = deposit_2d_coherent(
+                np.ascontiguousarray(pos[:, i], np.float32),
+                np.ascontiguousarray(pos[:, j], np.float32),
+                np.asarray(h, np.float32), values.astype(np.float32),
+                spec, kernel=kernel, projection=projection,
+            )
         elif engine == "xla":
             maps = deposit_2d(
                 pos[:, i], pos[:, j], h, values.T, spec, kernel=kernel, projection=projection
             )
             maps = np.moveaxis(np.asarray(maps), -1, 0)
         else:
-            raise ValueError(f"Unknown engine {engine!r} (pallas | xla)")
+            raise ValueError(f"Unknown engine {engine!r} (pallas | coherent | xla)")
         maps = np.asarray(maps)
         if maps.ndim == 2:
             maps = maps[None]
