@@ -15,6 +15,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def clustered(rng, m, box):
     nb = max(8, m // 1500)
