@@ -194,12 +194,14 @@ class SnapshotSWIFT(SnapshotBase):
     # beats the device grid query (see benchmarks/knn_crossover.py); "grid"
     # / "kdtree" force an engine
     dm_hsml_engine: str = "auto"
-    DM_HSML_DEVICE_THRESHOLD: int = 200_000
+    # measured crossover vs host KDTree on clustered periodic boxes
+    # (KNN_CROSSOVER.json: parity at 3e5, 3.3x at 1e6, 8.9x at 3e6)
+    DM_HSML_DEVICE_THRESHOLD: int = 300_000
 
     def _dm_smoothing_lengths(self, use_proper_units: bool) -> UnitArray:
         """k-NN derived DM smoothing lengths (`_SnapshotSWIFT.py:58-85`,
-        with the chunk-slice bug fixed). At scale (>= ~2e5 particles) the
-        32-NN distance runs on device via the shell-walking cell grid
+        with the chunk-slice bug fixed). At scale (>= ~3e5 particles) the
+        32-NN distance runs on device via the cell-cascade grid query
         (`ops.neighbors.knn_distances_grid`); small sets use scipy KDTree."""
         if self._dm_hsml_cache is None:
             pos = self.get_positions(ParticleType.dark_matter).to_value("Mpc")
