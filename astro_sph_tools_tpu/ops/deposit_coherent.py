@@ -13,21 +13,27 @@ count:
 1. **Row sort**: view the input as (n_rows, C=2048) chunks and sort each row
    by the composite (level, tile) key — a batched small sort, ~5x cheaper
    than the global sort (log^2 C vs log^2 N bitonic passes).
-2. **Row classification**: a row whose particles are all in the smallest
-   footprint level and touch <= D distinct tiles (coherent input: 1-3) is
-   *coherent*; everything else — void rows full of large-h particles, level
-   mixtures, incoherent input — is *routed*.
+2. **Row classification**: a row whose smallest-footprint-level particles
+   touch <= D distinct level-0 tiles (coherent input: 1-3) is *coherent* —
+   its level-0 lanes deposit in place. Rows whose level-0 lanes are spread
+   over many tiles (incoherent input) are *heavy* and route whole.
 3. **Coherent pass**: one Pallas work-list step per (tile, row) candidate.
    Steps serve their tile's accumulator exactly like the sorted engine, but
    read the row-sorted chunk **in place** and mask lanes by key equality —
    no particle data moves. The schedule packs (work, tile, row) into one
    int32 per step in SMEM.
-4. **Routed tail**: routed rows (a few % for real snapshots) are gathered at
-   row granularity (64 KB slices — efficient, unlike element gathers) and
-   rendered through the existing global-sort pipeline, levels K=8..64 plus
-   the dense oversize fallback.
+4. **Bucketed tail extraction**: each row's *tail* — its level>=1 lanes
+   (large-h particles; the row sort parks them at the row's end), or all C
+   lanes for a heavy row — is pulled out by a row-granularity gather sized
+   to the next pow2 tail bucket (32..2048 lanes; element gathers are
+   latency-bound on TPU, row-window slices are DMA-friendly). For real
+   snapshots this shrinks the global tail sort to ~1.5x the true level>=1
+   lane count (3-5% of N) instead of the 30%+ that fixed-slab/whole-row
+   routing paid, and the per-level tail bodies see proportionally fewer
+   particles. The sorted tail then renders through the existing per-level
+   pipeline, K=8..64 plus the dense oversize fallback.
 
-Degradation is graceful: fully random input classifies every row as routed
+Degradation is graceful: fully random input classifies every row as heavy
 and the engine becomes the sorted engine plus a cheap row sort. Fidelity is
 identical to :func:`deposit_pallas.deposit_tiled` (same `_chunk_contrib`
 math, same precision modes).
@@ -65,7 +71,10 @@ from .deposit_pallas import (
 Array = jax.Array
 
 _D_MAX = 8  # distinct coherent-level tiles a row may touch before routing
-_TAIL_SLAB = 128  # per-row tail lanes routed lane-wise before the row goes whole
+# pow2 tail-extraction windows: a row's tail lanes are gathered as the last
+# T lanes of the row for the smallest T covering them (T = C routes the row
+# whole — heavy rows and rows with no level-0 lanes)
+_TAIL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
 
 def _ckey_bases(geoms) -> tuple[int, ...]:
@@ -136,15 +145,14 @@ def _assign_and_rowsort(
         [jnp.ones((n_rows, 1), bool), k2[:, 1:] != k2[:, :-1]], axis=1
     )
     is_l0 = k2 < bases[1]
-    # head = the row's coherent-level prefix; tail = everything after.
-    # A row stays coherent when its head touches few tiles AND its tail fits
-    # the fixed slab (the tail then routes lane-wise; only "heavy" rows —
-    # deep-void rows that are mostly large-h, or incoherent input — route
-    # whole). Without the split, one stray large-h particle per row would
-    # route everything at realistic lognormal-h scatter.
-    tail_count = C - is_l0.sum(axis=1)
+    # head = the row's coherent-level prefix (deposits in place when it
+    # touches few tiles); tail = everything after — the level>=1 lanes the
+    # row sort parked at the row's end, extracted by the bucketed tail
+    # gather. Only "heavy" rows — incoherent input whose level-0 lanes are
+    # spread over many tiles — route whole (tail = all C lanes).
     head_distinct = (is_first & is_l0).sum(axis=1)
-    coherent = (tail_count <= _TAIL_SLAB) & (head_distinct <= d_max)
+    coherent = head_distinct <= d_max
+    tail_eff = jnp.where(coherent, C - is_l0.sum(axis=1), C).astype(jnp.int32)
 
     pad_key = jnp.int32(bases[n_levels] + 1)
     masked = jnp.where(is_first & is_l0 & coherent[:, None], k2, pad_key)
@@ -160,12 +168,21 @@ def _assign_and_rowsort(
     )
     n_cand = jnp.searchsorted(sk, jnp.int32(bases[1])).astype(jnp.int32)
 
-    routed = ~coherent
-    n_routed = routed.sum().astype(jnp.int32)
-    routed_rows = jnp.nonzero(routed, size=n_rows, fill_value=n_rows)[0].astype(
-        jnp.int32
+    n_heavy = (~coherent).sum().astype(jnp.int32)
+    n_tail = tail_eff.sum().astype(jnp.int32)
+
+    # group rows by pow2 tail bucket (tail-free rows sort past the last
+    # bucket); the gather stage slices each bucket's rows contiguously
+    thr = jnp.asarray(_TAIL_BUCKETS, jnp.int32)
+    bucket = jnp.searchsorted(thr, tail_eff, side="left").astype(jnp.int32)
+    bucket = jnp.where(tail_eff > 0, bucket, len(_TAIL_BUCKETS))
+    _, rows_by_bucket = jax.lax.sort(
+        [bucket, jnp.arange(n_rows, dtype=jnp.int32)], num_keys=1,
+        is_stable=False,
     )
-    n_slab_tail = jnp.where(coherent, tail_count, 0).sum().astype(jnp.int32)
+    nb = (bucket[None, :] == jnp.arange(len(_TAIL_BUCKETS), dtype=jnp.int32)[
+        :, None
+    ]).sum(axis=1).astype(jnp.int32)
 
     packed = jnp.stack(
         list(sorted2[1:4])
@@ -174,8 +191,8 @@ def _assign_and_rowsort(
         + [jnp.zeros((n_rows, C), jnp.float32)] * (8 - 4 - n_fields),
         axis=1,
     )  # (n_rows, 8, C): u, v, h, vals..., ckey, zero-pad
-    counts = jnp.stack([n_cand, n_routed, n_slab_tail])
-    return packed, sk, sr, routed_rows, coherent, counts
+    counts = jnp.concatenate([jnp.stack([n_cand, n_heavy, n_tail]), nb])
+    return packed, sk, sr, tail_eff, rows_by_bucket, counts
 
 
 @lru_cache(maxsize=256)
@@ -193,35 +210,86 @@ def _cached_stage_a(
     return jax.jit(fn, donate_argnums=(0, 1, 2, 3) if donate else ())
 
 
-def _tail_sort(packed, routed_rows, n_routed, coherent, *, bm, n_fields,
-               bases, n_levels, n_rows, C, T):
-    """Stage B (traced): routed-tail assembly + global sort.
+def _tail_gather(packed, rows_by_bucket, tail_eff, *, nbs, n_fields, bases,
+                 n_levels, C):
+    """Stage B1 (traced): pull every row's tail lanes out of ``packed`` with
+    one row-window gather per pow2 tail bucket.
 
-    Two sources: (a) the last-T-lane slab of every coherent row — its tail
-    lanes (key >= bases[1]) route lane-wise, its coherent-level lanes are
-    masked out (already deposited in place); (b) heavy rows, gathered whole
-    at row granularity (64KB slices)."""
-    rows = jax.lax.dynamic_slice(routed_rows, (0,), (bm,))
-    live_row = jnp.arange(bm) < n_routed
-    rows = jnp.where(live_row, rows, 0)
-    blocks = jnp.take(packed, rows, axis=0)  # (bm, 8, C) — 64KB row slices
-    pad_key = jnp.int32(bases[n_levels] + 1)
+    Bucket b gathers its rows' last ``T_b`` lanes as (1, CH, T_b) slices —
+    row-granularity DMAs, never element gathers (a clipped element gather
+    cost ~6 s at 33M particles on v5e; see deposit_pallas._layout_level_body).
+    Lanes before the row's true tail are masked to the pad key. Output is
+    pow2-padded so the expensive sort program (stage B2) compiles once per
+    size class while this cheap gather program recompiles per bucket-count
+    vector."""
+    CH = 4 + n_fields  # u, v, h, vals..., ckey — contiguous channel prefix
+    pad_key_f = float(bases[n_levels] + 1)
+    n_rows = packed.shape[0]
+    key_parts, chan_parts = [], [[] for _ in range(3 + n_fields)]
 
-    slabs = packed[:, :, C - T :]  # (n_rows, 8, T)
-    key_s = slabs[:, 3 + n_fields, :].astype(jnp.int32)
-    keep_s = coherent[:, None] & (key_s >= bases[1])
-    key_s = jnp.where(keep_s, key_s, pad_key)
-
-    key_h = blocks[:, 3 + n_fields, :].reshape(-1).astype(jnp.int32)
-    key_h = jnp.where(jnp.repeat(live_row, C), key_h, pad_key)
-
-    def chan(ci):
-        return jnp.concatenate(
-            [slabs[:, ci, :].reshape(-1), blocks[:, ci, :].reshape(-1)]
+    # smallest bucket: a static strided slice of every row's last T0 lanes
+    # (near-HBM-bandwidth memcpy) instead of one tiny DMA per row — the
+    # sub-1KB gather slices of the T0 bucket are pure per-slice latency and
+    # dominate the gather wall; rows outside the bucket are masked to the
+    # pad key (their dead lanes cost far less in the sort than their DMAs
+    # would in the gather)
+    T0 = _TAIL_BUCKETS[0]
+    v_real = 0
+    if nbs[0]:
+        slab = packed[:, :CH, C - T0 :]  # (n_rows, CH, T0)
+        keep = (
+            (tail_eff > 0) & (tail_eff <= T0)
+        )[:, None] & (
+            jnp.arange(T0)[None, :] >= (T0 - tail_eff)[:, None]
         )
+        key_parts.append(
+            jnp.where(keep, slab[:, 3 + n_fields, :], pad_key_f).reshape(-1)
+        )
+        for ci in range(3 + n_fields):
+            chan_parts[ci].append(slab[:, ci, :].reshape(-1))
+        v_real += n_rows * T0
 
-    key = jnp.concatenate([key_s.reshape(-1), key_h])
-    ops = [key, chan(0), chan(1), chan(2)] + [chan(3 + f) for f in range(n_fields)]
+    lo = nbs[0]
+    for T, n_b in zip(_TAIL_BUCKETS[1:], nbs[1:]):
+        if n_b == 0:
+            continue
+        rows_b = jax.lax.dynamic_slice(rows_by_bucket, (lo,), (n_b,))
+        lo += n_b
+        blk = jax.vmap(
+            lambda r: jax.lax.dynamic_slice(packed, (r, 0, C - T), (1, CH, T))
+        )(rows_b).reshape(n_b, CH, T)
+        te_b = jnp.take(tail_eff, rows_b)
+        keep = jnp.arange(T)[None, :] >= (T - te_b)[:, None]
+        key_parts.append(
+            jnp.where(keep, blk[:, 3 + n_fields, :], pad_key_f).reshape(-1)
+        )
+        for ci in range(3 + n_fields):
+            chan_parts[ci].append(blk[:, ci, :].reshape(-1))
+        v_real += T * n_b
+    v_pad = max(C, _next_pow2(v_real)) - v_real
+    key = jnp.concatenate(
+        key_parts + [jnp.full((v_pad,), pad_key_f, jnp.float32)]
+    ).astype(jnp.int32)
+    chans = [
+        jnp.concatenate(parts + [jnp.zeros((v_pad,), jnp.float32)])
+        for parts in chan_parts
+    ]
+    return (key, *chans)
+
+
+@lru_cache(maxsize=256)
+def _cached_tail_gather(nbs, n_fields, bases, n_levels, C):
+    fn = partial(
+        _tail_gather, nbs=nbs, n_fields=n_fields, bases=bases,
+        n_levels=n_levels, C=C,
+    )
+    return jax.jit(fn)
+
+
+def _tail_sort_dense(key, u, v, h, vals, *, bases, n_levels, C):
+    """Stage B2 (traced): global sort of the compact tail + per-level counts
+    + slack padding. Compiles per pow2 size class."""
+    ops = [key, u, v, h] + list(vals)
     skey, su, sv, sh, *s_vals = jax.lax.sort(ops, num_keys=1, is_stable=False)
     s_values = jnp.stack(s_vals, axis=0)
 
@@ -247,13 +315,10 @@ def _tail_sort(packed, routed_rows, n_routed, coherent, *, bm, n_fields,
     )
 
 
-@lru_cache(maxsize=256)
-def _cached_stage_b(bm, n_fields, bases, n_levels, n_rows, C, T):
-    fn = partial(
-        _tail_sort, bm=bm, n_fields=n_fields, bases=bases,
-        n_levels=n_levels, n_rows=n_rows, C=C, T=T,
-    )
-    return jax.jit(fn)
+@lru_cache(maxsize=64)
+def _cached_tail_sort_dense(v_tot, n_fields, bases, n_levels, C):
+    fn = partial(_tail_sort_dense, bases=bases, n_levels=n_levels, C=C)
+    return jax.jit(lambda key, u, v, h, vals: fn(key, u, v, h, vals))
 
 
 def tile_particles_coherent(
@@ -310,14 +375,20 @@ def tile_particles_coherent(
     extent = tuple(float(e) for e in spec.extent)
     n_fields = values.shape[0]
 
-    packed, sk, sr, routed_rows, coherent, counts = _cached_stage_a(
+    packed, sk, sr, tail_eff, rows_by_bucket, counts = _cached_stage_a(
         spec.shape, extent, spec.periodic_wrap, bounds, geom_tuples,
         kspec.support_factor, n_fields, len(levels), bases, d_max, n_rows, C,
         donate,
     )(x, y, h, values)
-    n_cand, n_routed, n_slab_tail = (int(v) for v in np.asarray(counts))  # host sync 1
+    cvec = np.asarray(counts)  # host sync 1
+    n_cand, n_heavy, n_tail = (int(v) for v in cvec[:3])
+    nbs = tuple(int(v) for v in cvec[3:])
 
-    b0 = max(1, _next_pow2(n_cand)) if n_cand else 0
+    # 4096-step granularity, not pow2: schedule steps past n_cand are dead
+    # (zero work but ~1.6us each on v5e), and pow2 rounding added up to
+    # n_cand dead steps at 1e8 scale (0.1 s class); coarse granularity still
+    # bounds the compiled-program variety
+    b0 = min(max(4096, -(-n_cand // 4096) * 4096), n_rows * d_max) if n_cand else 0
     cand_tile = cand_rowv = None
     if b0:
         n_tiles0 = geoms[0].n_tiles
@@ -332,11 +403,15 @@ def tile_particles_coherent(
     tail_metas: tuple = ()
     n_tail_oversize = 0
     n_tail_sorted = 0
-    if n_routed or n_slab_tail:
-        bm = max(1, _next_pow2(max(1, n_routed)))
-        t_tile, tu, tv, th, t_values, lcounts = _cached_stage_b(
-            bm, n_fields, bases, len(levels), n_rows, C, _TAIL_SLAB
-        )(packed, routed_rows, jnp.int32(n_routed), coherent)
+    if n_tail:
+        tail_chans = _cached_tail_gather(
+            nbs, n_fields, bases, len(levels), C
+        )(packed, rows_by_bucket, tail_eff)
+        v_tot = int(tail_chans[0].shape[0])
+        t_tile, tu, tv, th, t_values, lcounts = _cached_tail_sort_dense(
+            v_tot, n_fields, bases, len(levels), C
+        )(tail_chans[0], tail_chans[1], tail_chans[2], tail_chans[3],
+          tuple(tail_chans[4:]))
         lc = np.asarray(lcounts)  # host sync 2
         metas = []
         lo = 0
@@ -350,7 +425,7 @@ def tile_particles_coherent(
         n_tail_sorted = int(lc.sum())
         tail = (tu, tv, th, t_values, t_tile)
 
-    n_coh_rows = n_rows - n_routed
+    n_coh_rows = n_rows - n_heavy
     return CoherentLayout(
         spec=spec, kernel=kernel, geom0=geoms[0], packed=packed,
         cand_tile=cand_tile, cand_row=cand_rowv, n_cand=n_cand,
@@ -362,8 +437,10 @@ def tile_particles_coherent(
             "coherent_fraction": n_coh_rows / max(1, n_rows),
             "n_candidates": n_cand,
             "candidates_per_coherent_row": n_cand / max(1, n_coh_rows),
-            "slab_tail_particles": n_slab_tail,
+            "heavy_rows": n_heavy,
+            "tail_particles": n_tail,
             "routed_particles": n_tail_sorted,
+            "tail_bucket_rows": dict(zip(_TAIL_BUCKETS, nbs)),
         },
     )
 
