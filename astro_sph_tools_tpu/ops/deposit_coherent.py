@@ -210,62 +210,66 @@ def _cached_stage_a(
     return jax.jit(fn, donate_argnums=(0, 1, 2, 3) if donate else ())
 
 
-def _tail_gather(packed, rows_by_bucket, tail_eff, *, nbs, n_fields, bases,
-                 n_levels, C):
-    """Stage B1 (traced): pull every row's tail lanes out of ``packed`` with
-    one row-window gather per pow2 tail bucket.
+def _tail_gather(packed, rows_by_bucket, tail_eff, los, nbv, *, caps,
+                 n_fields, bases, n_levels, C):
+    """Stage B1 (traced): pull every row's tail lanes out of ``packed`` in
+    one fused program (per-program dispatch costs 30-45 ms through the
+    tunnel — composition stays inside the jit).
 
-    Bucket b gathers its rows' last ``T_b`` lanes as (1, CH, T_b) slices —
-    row-granularity DMAs, never element gathers (a clipped element gather
-    cost ~6 s at 33M particles on v5e; see deposit_pallas._layout_level_body).
-    Lanes before the row's true tail are masked to the pad key. Output is
-    pow2-padded so the expensive sort program (stage B2) compiles once per
-    size class while this cheap gather program recompiles per bucket-count
-    vector."""
+    The T0 bucket is a static strided slice of every row's last T0 lanes —
+    a near-HBM-bandwidth memcpy instead of one sub-1KB DMA per row
+    (per-slice latency dominates at the T0 bucket's row counts); rows
+    outside it are masked to the pad key, their dead lanes costing far less
+    in the sort than their DMAs would in a gather. Each larger bucket pulls
+    its rows' last ``T`` lanes as (1, CH, T) ``dynamic_slice`` row-windows
+    (never element gathers: a clipped element gather cost ~6 s at 33M
+    particles on v5e; see deposit_pallas._layout_level_body).
+
+    ``los``/``nbv`` (bucket start offsets / true row counts) are *dynamic*
+    operands; only ``caps`` — each bucket's pow2-rounded row capacity — is
+    static. Program variety is therefore bounded by the capped vector
+    (stable across chunks of a snapshot) instead of one program per
+    observed bucket-count vector, and a resident service stops recompiling
+    after the first few chunks. Slots past a bucket's true count re-read
+    row 0 and mask to the pad key. Output is pow2-padded so the expensive
+    sort program (stage B2) compiles once per size class."""
     CH = 4 + n_fields  # u, v, h, vals..., ckey — contiguous channel prefix
     pad_key_f = float(bases[n_levels] + 1)
     n_rows = packed.shape[0]
     key_parts, chan_parts = [], [[] for _ in range(3 + n_fields)]
 
-    # smallest bucket: a static strided slice of every row's last T0 lanes
-    # (near-HBM-bandwidth memcpy) instead of one tiny DMA per row — the
-    # sub-1KB gather slices of the T0 bucket are pure per-slice latency and
-    # dominate the gather wall; rows outside the bucket are masked to the
-    # pad key (their dead lanes cost far less in the sort than their DMAs
-    # would in the gather)
     T0 = _TAIL_BUCKETS[0]
-    v_real = 0
-    if nbs[0]:
-        slab = packed[:, :CH, C - T0 :]  # (n_rows, CH, T0)
-        keep = (
-            (tail_eff > 0) & (tail_eff <= T0)
-        )[:, None] & (
-            jnp.arange(T0)[None, :] >= (T0 - tail_eff)[:, None]
-        )
-        key_parts.append(
-            jnp.where(keep, slab[:, 3 + n_fields, :], pad_key_f).reshape(-1)
-        )
-        for ci in range(3 + n_fields):
-            chan_parts[ci].append(slab[:, ci, :].reshape(-1))
-        v_real += n_rows * T0
+    slab = packed[:, :CH, C - T0 :]  # (n_rows, CH, T0)
+    keep = (
+        (tail_eff > 0) & (tail_eff <= T0)
+    )[:, None] & (
+        jnp.arange(T0)[None, :] >= (T0 - tail_eff)[:, None]
+    )
+    key_parts.append(
+        jnp.where(keep, slab[:, 3 + n_fields, :], pad_key_f).reshape(-1)
+    )
+    for ci in range(3 + n_fields):
+        chan_parts[ci].append(slab[:, ci, :].reshape(-1))
+    v_real = n_rows * T0
 
-    lo = nbs[0]
-    for T, n_b in zip(_TAIL_BUCKETS[1:], nbs[1:]):
-        if n_b == 0:
+    for bi, (T, n_cap) in enumerate(zip(_TAIL_BUCKETS[1:], caps)):
+        if n_cap == 0:
             continue
-        rows_b = jax.lax.dynamic_slice(rows_by_bucket, (lo,), (n_b,))
-        lo += n_b
+        slot = jnp.arange(n_cap, dtype=jnp.int32)
+        live = slot < nbv[bi]
+        idx = jnp.clip(los[bi] + slot, 0, n_rows - 1)
+        rows_b = jnp.where(live, jnp.take(rows_by_bucket, idx), 0)
         blk = jax.vmap(
             lambda r: jax.lax.dynamic_slice(packed, (r, 0, C - T), (1, CH, T))
-        )(rows_b).reshape(n_b, CH, T)
-        te_b = jnp.take(tail_eff, rows_b)
+        )(rows_b).reshape(n_cap, CH, T)
+        te_b = jnp.where(live, jnp.take(tail_eff, rows_b), 0)
         keep = jnp.arange(T)[None, :] >= (T - te_b)[:, None]
         key_parts.append(
             jnp.where(keep, blk[:, 3 + n_fields, :], pad_key_f).reshape(-1)
         )
         for ci in range(3 + n_fields):
             chan_parts[ci].append(blk[:, ci, :].reshape(-1))
-        v_real += T * n_b
+        v_real += T * n_cap
     v_pad = max(C, _next_pow2(v_real)) - v_real
     key = jnp.concatenate(
         key_parts + [jnp.full((v_pad,), pad_key_f, jnp.float32)]
@@ -278,9 +282,9 @@ def _tail_gather(packed, rows_by_bucket, tail_eff, *, nbs, n_fields, bases,
 
 
 @lru_cache(maxsize=256)
-def _cached_tail_gather(nbs, n_fields, bases, n_levels, C):
+def _cached_tail_gather(caps, n_fields, bases, n_levels, C):
     fn = partial(
-        _tail_gather, nbs=nbs, n_fields=n_fields, bases=bases,
+        _tail_gather, caps=caps, n_fields=n_fields, bases=bases,
         n_levels=n_levels, C=C,
     )
     return jax.jit(fn)
@@ -404,9 +408,14 @@ def tile_particles_coherent(
     n_tail_oversize = 0
     n_tail_sorted = 0
     if n_tail:
+        # pow2-capped bucket row counts: the static part of the gather key
+        nbs_tail = nbs[1:]
+        caps = tuple(_next_pow2(nb) if nb else 0 for nb in nbs_tail)
+        los = np.concatenate([[nbs[0]], np.cumsum(nbs_tail)[:-1] + nbs[0]])
         tail_chans = _cached_tail_gather(
-            nbs, n_fields, bases, len(levels), C
-        )(packed, rows_by_bucket, tail_eff)
+            caps, n_fields, bases, len(levels), C
+        )(packed, rows_by_bucket, tail_eff,
+          jnp.asarray(los, jnp.int32), jnp.asarray(nbs_tail, jnp.int32))
         v_tot = int(tail_chans[0].shape[0])
         t_tile, tu, tv, th, t_values, lcounts = _cached_tail_sort_dense(
             v_tot, n_fields, bases, len(levels), C

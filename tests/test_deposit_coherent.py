@@ -120,6 +120,53 @@ class TestCoherentEngine:
         with pytest.raises(ValueError, match="4 fields"):
             tile_particles_coherent(x, y, h, fields, spec)
 
+    def test_tail_bucket_boundaries(self, rng):
+        """Rows whose tail counts land exactly on pow2 bucket edges (32, 33,
+        64, 2048) must extract losslessly through the bucketed gather."""
+        from astro_sph_tools_tpu.ops.deposit_coherent import _TAIL_BUCKETS
+        from astro_sph_tools_tpu.ops.deposit_pallas import _CHUNK
+
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 128
+        n = 8 * _CHUNK  # 8 rows, one per engineered tail size
+        x, y, h, m = _coherent_set(rng, n, box, px, h_sigma=0.0)
+        h = np.full(n, 0.3 * px, np.float32)  # all level-0 baseline
+        # row r gets exactly `sizes[r]` large-h (level>=1) lanes
+        sizes = [0, 1, _TAIL_BUCKETS[0], _TAIL_BUCKETS[0] + 1,
+                 _TAIL_BUCKETS[1], 100, _TAIL_BUCKETS[-1] - 1, _CHUNK]
+        for r, s in enumerate(sizes):
+            h[r * _CHUNK : r * _CHUNK + s] = 6.0 * px
+        fields = np.stack([m])
+        lay = tile_particles_coherent(x, y, h, fields, spec)
+        assert lay.stats["tail_particles"] >= sum(sizes)
+        img_c = np.asarray(deposit_coherent(lay, precision="f32"))
+        img_s = np.asarray(deposit_2d_auto(x, y, h, fields, spec, precision="f32"))
+        assert np.abs(img_c - img_s).max() / np.abs(img_s).max() < 5e-6
+
+    def test_gather_program_variety_bounded(self, rng):
+        """Two snapshots with different tail distributions in the same pow2
+        capacity classes must share one compiled gather program (the
+        resident-service no-recompile guarantee)."""
+        import importlib
+
+        dc = importlib.import_module(
+            "astro_sph_tools_tpu.ops.deposit_coherent"
+        )
+
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 128
+        x, y, h, m = _coherent_set(rng, 60000, box, px)
+        tile_particles_coherent(x, y, h, np.stack([m]), spec)
+        before = dc._cached_tail_gather.cache_info()
+        # jitter positions/lengths: counts shift, pow2 caps typically do not
+        x2 = np.mod(x + rng.normal(0, 0.01, x.size).astype(np.float32), box)
+        lay2 = tile_particles_coherent(x2, y, h, np.stack([m]), spec)
+        after = dc._cached_tail_gather.cache_info()
+        if lay2.stats["tail_particles"]:
+            assert after.hits > before.hits or after.misses == before.misses
+
     def test_integrated_projection(self, rng):
         box = 8.0
         spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
