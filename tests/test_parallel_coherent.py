@@ -82,6 +82,28 @@ class TestShardedCoherent:
                 xp[:-1], yp[:-1], hp[:-1], vp[:, :-1], spec, mesh
             )
 
+    def test_all_coherent_no_tail(self, mesh, rng):
+        """Sub-pixel h everywhere: every row is coherent, the tail is empty
+        on every shard (metas_static == ()) — the render must still match."""
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 64
+        n = 20000
+        x = rng.uniform(0, box, n).astype(np.float32)
+        y = rng.uniform(0, box, n).astype(np.float32)
+        h = rng.uniform(0.1 * px, 0.9 * px, n).astype(np.float32)
+        m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        order = np.argsort((x // (8 * px)) * 64 + (y // (8 * px)))
+        x, y, h, m = x[order], y[order], h[order], m[order]
+        ref = np.asarray(
+            deposit_2d_auto(x, y, h, np.stack([m]), spec, precision="f32")
+        )
+        xp, yp, hp, vp = pad_particles_mesh(x, y, h, m, spec, 8)
+        img = np.asarray(
+            deposit_2d_coherent_sharded(xp, yp, hp, vp, spec, mesh, precision="f32")
+        )
+        assert rel_err(img[0], ref[0]) < 5e-5
+
     def test_oversize_raises(self, mesh, rng):
         box = 8.0
         spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
