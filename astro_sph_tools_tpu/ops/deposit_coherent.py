@@ -64,7 +64,7 @@ from .deposit_pallas import (
     _level_geometry,
     _LevelGeometry,
     _multi_level_assign,
-    _next_pow2,
+    _next_size_class,
     _pad_particles_pow2,
 )
 
@@ -226,13 +226,13 @@ def _tail_gather(packed, rows_by_bucket, tail_eff, los, nbv, *, caps,
     particles on v5e; see deposit_pallas._layout_level_body).
 
     ``los``/``nbv`` (bucket start offsets / true row counts) are *dynamic*
-    operands; only ``caps`` — each bucket's pow2-rounded row capacity — is
-    static. Program variety is therefore bounded by the capped vector
+    operands; only ``caps`` — each bucket's class-rounded row capacity
+    (:func:`deposit_pallas._next_size_class`) — is static. Program variety is therefore bounded by the capped vector
     (stable across chunks of a snapshot) instead of one program per
     observed bucket-count vector, and a resident service stops recompiling
     after the first few chunks. Slots past a bucket's true count re-read
-    row 0 and mask to the pad key. Output is pow2-padded so the expensive
-    sort program (stage B2) compiles once per size class."""
+    row 0 and mask to the pad key. Output is padded to a size class so the expensive
+    sort program (stage B2) compiles once per class."""
     CH = 4 + n_fields  # u, v, h, vals..., ckey — contiguous channel prefix
     pad_key_f = float(bases[n_levels] + 1)
     n_rows = packed.shape[0]
@@ -270,7 +270,7 @@ def _tail_gather(packed, rows_by_bucket, tail_eff, los, nbv, *, caps,
         for ci in range(3 + n_fields):
             chan_parts[ci].append(blk[:, ci, :].reshape(-1))
         v_real += T * n_cap
-    v_pad = max(C, _next_pow2(v_real)) - v_real
+    v_pad = max(C, _next_size_class(v_real)) - v_real
     key = jnp.concatenate(
         key_parts + [jnp.full((v_pad,), pad_key_f, jnp.float32)]
     ).astype(jnp.int32)
@@ -292,7 +292,7 @@ def _cached_tail_gather(caps, n_fields, bases, n_levels, C):
 
 def _tail_sort_dense(key, u, v, h, vals, *, bases, n_levels, C):
     """Stage B2 (traced): global sort of the compact tail + per-level counts
-    + slack padding. Compiles per pow2 size class."""
+    + slack padding. Compiles per size class."""
     ops = [key, u, v, h] + list(vals)
     skey, su, sv, sh, *s_vals = jax.lax.sort(ops, num_keys=1, is_stable=False)
     s_values = jnp.stack(s_vals, axis=0)
@@ -308,10 +308,12 @@ def _tail_sort_dense(key, u, v, h, vals, *, bases, n_levels, C):
     # level-local tiles: subtract the key base of each particle's level
     lev = jnp.searchsorted(base_arr[1:], skey, side="right").astype(jnp.int32)
     s_tile = skey - base_arr[jnp.minimum(lev, n_levels)]
-    # slack so per-level bucketed reads stay dynamic_slices (see
-    # deposit_pallas._tile_sort_tail for the bound)
+    # slack so per-level bucketed reads stay dynamic_slices: buckets are
+    # chunk-multiple size classes, bucket <= 9*(c + C)/8, and lo <= n - c,
+    # so lo + bucket < n + n//8 + 2C + 1 for any level split (n is itself
+    # a class value)
     n = skey.shape[0]
-    slack = max(n // 2, C)
+    slack = max(n // 8, C) + 2 * C
     pad1 = lambda a: jnp.pad(a, (0, slack))
     return (
         pad1(s_tile), pad1(su), pad1(sv), pad1(sh),
@@ -319,7 +321,7 @@ def _tail_sort_dense(key, u, v, h, vals, *, bases, n_levels, C):
     )
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=128)
 def _cached_tail_sort_dense(v_tot, n_fields, bases, n_levels, C):
     fn = partial(_tail_sort_dense, bases=bases, n_levels=n_levels, C=C)
     return jax.jit(lambda key, u, v, h, vals: fn(key, u, v, h, vals))
@@ -408,9 +410,9 @@ def tile_particles_coherent(
     n_tail_oversize = 0
     n_tail_sorted = 0
     if n_tail:
-        # pow2-capped bucket row counts: the static part of the gather key
+        # class-capped bucket row counts: the static part of the gather key
         nbs_tail = nbs[1:]
-        caps = tuple(_next_pow2(nb) if nb else 0 for nb in nbs_tail)
+        caps = tuple(_next_size_class(nb) if nb else 0 for nb in nbs_tail)
         los = np.concatenate([[nbs[0]], np.cumsum(nbs_tail)[:-1] + nbs[0]])
         tail_chans = _cached_tail_gather(
             caps, n_fields, bases, len(levels), C
@@ -427,7 +429,7 @@ def tile_particles_coherent(
         for li, g in enumerate(geoms):
             c = int(lc[li])
             if g is not None and c > 0:
-                metas.append((g, lo, max(C, _next_pow2(c)), c))
+                metas.append((g, lo, C * _next_size_class(-(-c // C)), c))
             lo += c
         tail_metas = tuple(metas)
         n_tail_oversize = int(lc[len(geoms)])

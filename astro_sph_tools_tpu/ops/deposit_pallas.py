@@ -289,21 +289,26 @@ def _chunk_contrib(
         # a ~2^-17 per-contribution floor that a single sub-pixel
         # particle's pixel exposes directly (measured 1.06e-5 on the
         # adaptive mix); the third limb brings the floor to ~2^-25.
+        # The limbs ride ONE row-concatenated dot: each (F*R, C) x (C, S)
+        # limb dot has only F*R (~32) output rows against the 128-row MXU,
+        # so separate dots run the systolic array ~F*R/128 utilized;
+        # stacking the limbs along rows shares the Pb operand and doubles
+        # (triples for bf16x3) the occupied rows for the same total MACs.
         Pb = Pk.astype(jnp.bfloat16)
         hi = w_rows.astype(jnp.bfloat16)
         r1 = w_rows - hi.astype(jnp.float32)
         lo = r1.astype(jnp.bfloat16)
-        contrib = (
-            contrib
-            + jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
-            + jnp.dot(lo, Pb, preferred_element_type=jnp.float32)
-        )
         if precision == "bf16x3":
             l3 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
-            contrib = contrib + jnp.dot(
-                l3, Pb, preferred_element_type=jnp.float32
-            )
-        return contrib
+            limbs = jnp.concatenate([hi, lo, l3], axis=0)
+        else:
+            limbs = jnp.concatenate([hi, lo], axis=0)
+        d = jnp.dot(limbs, Pb, preferred_element_type=jnp.float32)
+        nr = w_rows.shape[0]
+        part = d[:nr] + d[nr : 2 * nr]
+        if precision == "bf16x3":
+            part = part + d[2 * nr :]
+        return contrib + part
 
     return jax.lax.fori_loop(
         0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
@@ -605,6 +610,23 @@ def _cached_deposit_call(
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
+
+
+def _next_size_class(n: int, bits: int = 3) -> int:
+    """Smallest ``m * 2^e >= n`` with ``m`` carrying ``bits`` significant
+    bits after the leading one (m in [2^bits, 2^(bits+1))).
+
+    Static-capacity rounding: pow2 rounding wastes up to 2x on the arrays
+    the expensive tail-sort programs see (measured 8.4M lanes for a 2.2M
+    tail at 2^26); 3-bit classes bound the waste at 1/8 while keeping the
+    compiled-program variety bounded (8 classes per octave, stable across
+    the chunks of a snapshot). Monotone, and a fixed point on its own
+    values (class(class(n)) == class(n)) — the slack bounds in
+    deposit_coherent rely on both properties."""
+    if n <= (1 << bits):
+        return max(0, n)
+    e = (n - 1).bit_length() - 1 - bits
+    return -(-n >> e) << e
 
 
 def _as_field_matrix(values) -> tuple[jnp.ndarray, bool]:

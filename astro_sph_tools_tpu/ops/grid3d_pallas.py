@@ -189,14 +189,18 @@ def _deposit3d_kernel(
                     w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32,
                 )
+            # one row-concatenated limb dot: shares Pb and doubles the MXU
+            # row occupancy vs two (F*R, C) x (C, S) dots (see
+            # deposit_pallas._chunk_contrib)
             Pb = Pk.astype(jnp.bfloat16)
             hi = w_rows.astype(jnp.bfloat16)
             lo = (w_rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (
-                contrib
-                + jnp.dot(hi, Pb, preferred_element_type=jnp.float32)
-                + jnp.dot(lo, Pb, preferred_element_type=jnp.float32)
+            d = jnp.dot(
+                jnp.concatenate([hi, lo], axis=0), Pb,
+                preferred_element_type=jnp.float32,
             )
+            nr = w_rows.shape[0]
+            return contrib + d[:nr] + d[nr:]
 
         contrib = jax.lax.fori_loop(
             0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)

@@ -149,13 +149,15 @@ def _spectra_kernel(
 
         # tau += w_col @ phi with hi/lo bf16 splits (exact bf16 products,
         # f32 accumulate; residual ~2^-17)
+        # the w limbs ride row-concatenated (2B rows) so each p-limb dot
+        # fills twice the MXU rows a (B, C) x (C, n_bins) dot would
         w_hi, w_lo = _split_bf16(w_col)
         p_hi, p_lo = _split_bf16(phi)
-        acc = jnp.dot(w_hi, p_hi, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(w_hi, p_lo, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(w_lo, p_hi, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(w_lo, p_lo, preferred_element_type=jnp.float32)
-        acc_ref[0] += acc
+        w2 = jnp.concatenate([w_hi, w_lo], axis=0)
+        B = w_col.shape[0]
+        d1 = jnp.dot(w2, p_hi, preferred_element_type=jnp.float32)
+        d2 = jnp.dot(w2, p_lo, preferred_element_type=jnp.float32)
+        acc_ref[0] += (d1[:B] + d1[B:]) + (d2[:B] + d2[B:])
 
 
 @lru_cache(maxsize=128)

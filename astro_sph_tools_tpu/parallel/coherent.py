@@ -47,7 +47,7 @@ from ..ops.deposit_pallas import (
     _as_field_matrix,
     _check_precision,
     _level_geometry,
-    _next_pow2,
+    _next_size_class,
 )
 from ..ops.deposit_coherent import (
     _D_MAX,
@@ -187,9 +187,11 @@ def deposit_2d_coherent_sharded(
         if n_cand_max
         else 0
     )
-    # tail-bucket capacities: pow2 of the max across shards
+    # tail-bucket capacities: size class of the max across shards
     caps = tuple(
-        _next_pow2(int(nbs_all[:, 1 + i].max())) if nbs_all[:, 1 + i].max() else 0
+        _next_size_class(int(nbs_all[:, 1 + i].max()))
+        if nbs_all[:, 1 + i].max()
+        else 0
         for i in range(len(_TAIL_BUCKETS) - 1)
     )
     # per-shard bucket offsets/counts (dynamic operands)
@@ -209,12 +211,14 @@ def deposit_2d_coherent_sharded(
         t_tile, tu, tv, th, s_values, lcounts = sort_f(
             chans[0], chans[1], chans[2], chans[3], tuple(chans[4:])
         )
-        # extra slack: per-level buckets are pow2(max over SHARDS), so a
-        # shard whose own level count is small can see lo + bucket beyond
-        # the single-device slack bound (dynamic_slice would clamp the
-        # start and misalign the live mask — silent corruption). Padding by
-        # another v_tot/2 restores lo + bucket <= len for any shard mix.
-        extra = chans[0].shape[0] // 2 + C
+        # extra slack: per-level buckets are sized from the max over
+        # SHARDS, so a shard whose own level count is small can see
+        # lo + bucket beyond the single-device slack bound (dynamic_slice
+        # would clamp the start and misalign the live mask — silent
+        # corruption). Worst case lo + bucket <= v + 9*(v + C)/8; the sort
+        # already pads max(v//8, C) + 2C, so another v + 2C covers it.
+        v = chans[0].shape[0]
+        extra = v + 2 * C
         pad1 = lambda a: jnp.pad(a, (0, extra))
         return (
             pad1(t_tile), pad1(tu), pad1(tv), pad1(th),
@@ -249,7 +253,7 @@ def deposit_2d_coherent_sharded(
     for li, g in enumerate(geoms):
         cmax = int(lc[:, li].max())
         if g is not None and cmax > 0:
-            metas_static.append((g, max(C, _next_pow2(cmax))))
+            metas_static.append((g, C * _next_size_class(-(-cmax // C))))
             meta_lo.append(lo_per_shard.copy())
             meta_cnt.append(lc[:, li].copy())
         lo_per_shard = lo_per_shard + lc[:, li]
