@@ -191,7 +191,26 @@ def _assign_and_rowsort(
         + [jnp.zeros((n_rows, C), jnp.float32)] * (8 - 4 - n_fields),
         axis=1,
     )  # (n_rows, 8, C): u, v, h, vals..., ckey, zero-pad
-    counts = jnp.concatenate([jnp.stack([n_cand, n_heavy, n_tail]), nb])
+
+    # per-level ROUTED-TAIL counts, computed here rather than from the
+    # sorted tail (the sort only orders lanes, it cannot change the
+    # totals): level-0 tail lanes are exactly the heavy rows' level-0
+    # lanes; level>=1 lanes are all in some row's tail. Shipping these in
+    # the same counts vector removes the second host sync the layout used
+    # to pay (a ~30 ms round-trip through the axon tunnel per render) —
+    # gather, tail sort, and render dispatch back-to-back.
+    lev = jnp.minimum(level, n_levels)
+    lc0 = (is_l0 & ~coherent[:, None]).sum().astype(jnp.int32)
+    lev_counts = [
+        (lev == li).sum().astype(jnp.int32) for li in range(1, n_levels + 1)
+    ]
+    counts = jnp.concatenate(
+        [
+            jnp.stack([n_cand, n_heavy, n_tail]),
+            nb,
+            jnp.stack([lc0, *lev_counts]),
+        ]
+    )
     return packed, sk, sr, tail_eff, rows_by_bucket, counts
 
 
@@ -335,8 +354,10 @@ def tile_particles_coherent(
     d_max: int = _D_MAX,
     donate: bool = False,
 ) -> CoherentLayout:
-    """Build the coherent-order layout (two small host syncs: candidate /
-    routed-row counts, then routed-tail level counts)."""
+    """Build the coherent-order layout. ONE small host sync: the stage-A
+    counts vector carries candidate/heavy/bucket counts AND the per-level
+    routed-tail counts, so the tail gather, tail sort, and render programs
+    all dispatch without another round-trip."""
     kspec = get_kernel(kernel)
     values, _ = _as_field_matrix(values)
     if values.shape[0] > 4:
@@ -386,9 +407,11 @@ def tile_particles_coherent(
         kspec.support_factor, n_fields, len(levels), bases, d_max, n_rows, C,
         donate,
     )(x, y, h, values)
-    cvec = np.asarray(counts)  # host sync 1
+    cvec = np.asarray(counts)  # the ONLY host sync
     n_cand, n_heavy, n_tail = (int(v) for v in cvec[:3])
-    nbs = tuple(int(v) for v in cvec[3:])
+    n_buckets = len(_TAIL_BUCKETS)
+    nbs = tuple(int(v) for v in cvec[3 : 3 + n_buckets])
+    lc = cvec[3 + n_buckets :]  # per-level routed-tail counts + oversize
 
     # 4096-step granularity, not pow2: schedule steps past n_cand are dead
     # (zero work but ~1.6us each on v5e), and pow2 rounding added up to
@@ -419,11 +442,13 @@ def tile_particles_coherent(
         )(packed, rows_by_bucket, tail_eff,
           jnp.asarray(los, jnp.int32), jnp.asarray(nbs_tail, jnp.int32))
         v_tot = int(tail_chans[0].shape[0])
-        t_tile, tu, tv, th, t_values, lcounts = _cached_tail_sort_dense(
+        t_tile, tu, tv, th, t_values, _lcounts = _cached_tail_sort_dense(
             v_tot, n_fields, bases, len(levels), C
         )(tail_chans[0], tail_chans[1], tail_chans[2], tail_chans[3],
           tuple(tail_chans[4:]))
-        lc = np.asarray(lcounts)  # host sync 2
+        # metas come from stage A's level counts (the sort cannot change
+        # the totals) — no second host sync; gather, sort, and the render
+        # program dispatch back-to-back
         metas = []
         lo = 0
         for li, g in enumerate(geoms):

@@ -248,14 +248,31 @@ def _chunk_contrib(
     col0_s = col0.reshape(C, 1)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
 
+    # One-hot placement built ONCE and lane-rolled by one per column step
+    # instead of a fresh (C, S) compare + dtype cast every k. The roll
+    # wraps at the lane boundary, and off-extent particles on non-periodic
+    # maps (e.g. halo cutouts) legitimately carry col0 < 0 or
+    # col0 + k >= S (the old compare silently clipped those columns), so
+    # the one-hot is anchored at the WRAPPED lane and each step's
+    # out-of-range columns are zeroed through a cheap (1, C) weight mask —
+    # exact for every input, while the per-step (C, S) compare+cast is
+    # replaced by one lane rotation.
+    P_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+    P0 = (s_iota == jnp.mod(col0_s, S)).astype(P_dtype)  # (C, S) one-hot
+
     # Per column offset k: weights (F*R, C) and one-hot placement (C, S),
     # accumulated over a fori_loop (keeps Mosaic compile size flat in K —
     # a fully unrolled+concatenated variant compiled ~10x slower).
     # NOTE on matmul precision: one-hot operands are exact in bf16, and
     # TPU f32 dots default to bf16 multiplication, so 'f32' must request
     # Precision.HIGHEST explicitly.
-    def k_step(k, contrib):
-        dxn = ((col0 + k).astype(jnp.float32) + offset - u_loc) * (psx * inv_n)
+    def k_step(k, carry):
+        contrib, P = carry
+        colk = col0 + k  # (1, C)
+        # zero columns the wrapped one-hot would misplace (off-extent
+        # support on non-periodic maps)
+        col_ok = ((colk >= 0) & (colk < S)).astype(jnp.float32)
+        dxn = (colk.astype(jnp.float32) + offset - u_loc) * (psx * inv_n)
         q2 = dy2n + dxn * dxn  # (R, C)
         if projection == "integrated":
             # physically-correct column: line-integrated kernel Y(b, h)
@@ -268,21 +285,30 @@ def _chunk_contrib(
             # (_pixel_calculations.pyx:32-33); shape is zero outside
             # support, so no extra mask is needed
             wk = kernel.shape_q(jnp.sqrt(q2))
+        wk = wk * col_ok
         # field-stacked rows: (F*R, C)
         w_rows = jnp.concatenate(
             [wk * vals_eff[f : f + 1, :] for f in range(n_fields)], axis=0
         )
-        Pk = s_iota == (col0_s + k)  # (C, S) exact one-hot
+        P_next = pltpu.roll(P, 1, 1)
         if precision == "f32":
-            return contrib + jnp.dot(
-                w_rows, Pk.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            return (
+                contrib
+                + jnp.dot(
+                    w_rows, P,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
+                P_next,
             )
         if precision == "bf16":
-            return contrib + jnp.dot(
-                w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+            return (
+                contrib
+                + jnp.dot(
+                    w_rows.astype(jnp.bfloat16), P,
+                    preferred_element_type=jnp.float32,
+                ),
+                P_next,
             )
         # bf16x2 / bf16x3: exact placement, split weights into bf16
         # limbs (hi + residuals). Two limbs carry ~16 mantissa bits —
@@ -292,9 +318,8 @@ def _chunk_contrib(
         # The limbs ride ONE row-concatenated dot: each (F*R, C) x (C, S)
         # limb dot has only F*R (~32) output rows against the 128-row MXU,
         # so separate dots run the systolic array ~F*R/128 utilized;
-        # stacking the limbs along rows shares the Pb operand and doubles
+        # stacking the limbs along rows shares the P operand and doubles
         # (triples for bf16x3) the occupied rows for the same total MACs.
-        Pb = Pk.astype(jnp.bfloat16)
         hi = w_rows.astype(jnp.bfloat16)
         r1 = w_rows - hi.astype(jnp.float32)
         lo = r1.astype(jnp.bfloat16)
@@ -303,16 +328,18 @@ def _chunk_contrib(
             limbs = jnp.concatenate([hi, lo, l3], axis=0)
         else:
             limbs = jnp.concatenate([hi, lo], axis=0)
-        d = jnp.dot(limbs, Pb, preferred_element_type=jnp.float32)
+        d = jnp.dot(limbs, P, preferred_element_type=jnp.float32)
         nr = w_rows.shape[0]
         part = d[:nr] + d[nr : 2 * nr]
         if precision == "bf16x3":
             part = part + d[2 * nr :]
-        return contrib + part
+        return contrib + part, P_next
 
-    return jax.lax.fori_loop(
-        0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
+    contrib, _ = jax.lax.fori_loop(
+        0, K, k_step,
+        (jnp.zeros((n_fields * R, S), jnp.float32), P0),
     )
+    return contrib
 
 
 

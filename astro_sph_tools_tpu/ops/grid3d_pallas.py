@@ -169,41 +169,57 @@ def _deposit3d_kernel(
 
         col0_s = col0.reshape(C, 1)
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+        # one-hot placement built once and lane-rolled per column step,
+        # anchored at the wrapped lane with out-of-range columns zeroed by
+        # a (1, C) weight mask (see deposit_pallas._chunk_contrib)
+        P_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+        P0 = (s_iota == jnp.mod(col0_s, S)).astype(P_dtype)
 
-        def k_step(k, contrib):
-            dxn = ((col0 + k).astype(jnp.float32) + offset - u_loc) * (psx * inv_h)
+        def k_step(k, carry):
+            contrib, P = carry
+            colk = col0 + k
+            col_ok = ((colk >= 0) & (colk < S)).astype(jnp.float32)
+            dxn = (colk.astype(jnp.float32) + offset - u_loc) * (psx * inv_h)
             q = jnp.sqrt(dyz2n + dxn * dxn)
-            wk = kernel.shape_q(q)  # zero outside support
+            wk = kernel.shape_q(q) * col_ok  # zero outside support/lanes
             w_rows = jnp.concatenate(
                 [wk * vals_eff[f : f + 1, :] for f in range(n_fields)], axis=0
             )
-            Pk = s_iota == (col0_s + k)
+            P_next = pltpu.roll(P, 1, 1)
             if precision == "f32":
-                return contrib + jnp.dot(
-                    w_rows, Pk.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                return (
+                    contrib
+                    + jnp.dot(
+                        w_rows, P,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ),
+                    P_next,
                 )
             if precision == "bf16":
-                return contrib + jnp.dot(
-                    w_rows.astype(jnp.bfloat16), Pk.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
+                return (
+                    contrib
+                    + jnp.dot(
+                        w_rows.astype(jnp.bfloat16), P,
+                        preferred_element_type=jnp.float32,
+                    ),
+                    P_next,
                 )
-            # one row-concatenated limb dot: shares Pb and doubles the MXU
+            # one row-concatenated limb dot: shares P and doubles the MXU
             # row occupancy vs two (F*R, C) x (C, S) dots (see
             # deposit_pallas._chunk_contrib)
-            Pb = Pk.astype(jnp.bfloat16)
             hi = w_rows.astype(jnp.bfloat16)
             lo = (w_rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             d = jnp.dot(
-                jnp.concatenate([hi, lo], axis=0), Pb,
+                jnp.concatenate([hi, lo], axis=0), P,
                 preferred_element_type=jnp.float32,
             )
             nr = w_rows.shape[0]
-            return contrib + d[:nr] + d[nr:]
+            return contrib + d[:nr] + d[nr:], P_next
 
-        contrib = jax.lax.fori_loop(
-            0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
+        contrib, _ = jax.lax.fori_loop(
+            0, K, k_step,
+            (jnp.zeros((n_fields * R, S), jnp.float32), P0),
         )
         acc_ref[0] += contrib
 

@@ -11,20 +11,20 @@ reference's rank-striped ``pyread_eagle`` reads,
 + mpi4py reduction — here the reduction is one ``psum`` over ICI):
 
 1. **Stage A** (`shard_map`): per-row sort, classification, candidate
-   extraction on each shard; per-shard counts come back as ONE stacked
-   (n_dev, ...) host sync.
+   extraction on each shard; per-shard counts — including the per-level
+   routed-tail counts the render schedule needs — come back as ONE
+   stacked (n_dev, ...) host sync, the only one in the pipeline.
 2. **Stage B** (`shard_map`): bucketed tail gather + tail sort per shard.
    Static sizes (candidate capacity, tail-bucket capacities, per-level
    buckets) are maxed over the shards so all chips share one executable;
-   per-shard truth flows in as dynamic (n_dev, k) operands. Second stacked
-   host sync: per-level tail counts.
+   per-shard truth flows in as dynamic (n_dev, k) operands.
 3. **Render** (`shard_map`): candidate schedule + in-place Pallas coherent
    pass + per-level tail bodies on each chip, then ``lax.psum`` of the
    (F, ny, nx) map stack over the mesh axis — the only collective; a map
    stack is a few MB, negligible next to the deposit.
 
-Two host syncs total regardless of device count (the single-chip engine
-pays the same two), and the map reduction rides ICI — this is the 8-chip
+One host sync total regardless of device count (the single-chip engine
+pays the same one), and the map reduction rides ICI — this is the 8-chip
 composition the <2 s @ 1e9 north star assumes, measured per-chip in
 NORTHSTAR.json.
 """
@@ -176,9 +176,14 @@ def deposit_2d_coherent_sharded(
     values = jnp.asarray(values, jnp.float32)
     packed, sk, sr, tail_eff, rows_by_bucket, counts_all = run_a(x, y, h, values)
 
-    cvec = np.asarray(counts_all)  # host sync 1: (n_dev, 3 + n_buckets)
+    # the ONLY host sync: (n_dev, 3 + n_buckets + n_levels + 1) —
+    # candidate/heavy/bucket counts AND per-level routed-tail counts
+    # (stage A computes the latter; the tail sort cannot change totals)
+    cvec = np.asarray(counts_all)
     n_cand_max = int(cvec[:, 0].max())
-    nbs_all = cvec[:, 3:].astype(np.int64)  # (n_dev, n_buckets)
+    n_buckets = len(_TAIL_BUCKETS)
+    nbs_all = cvec[:, 3 : 3 + n_buckets].astype(np.int64)  # (n_dev, n_buckets)
+    lc = cvec[:, 3 + n_buckets :].astype(np.int64)  # (n_dev, n_levels + 1)
 
     # candidate capacity: 4096-step granularity (dead steps are cheap but
     # not free), shared by all shards
@@ -236,12 +241,11 @@ def deposit_2d_coherent_sharded(
         ),
     )(_run_b_local)
 
-    t_tile, tu, tv, th, t_values, lcounts_all = run_b(
+    t_tile, tu, tv, th, t_values, _lcounts_all = run_b(
         packed, rows_by_bucket, tail_eff,
         jnp.asarray(los_all), jnp.asarray(nbv_all),
     )
 
-    lc = np.asarray(lcounts_all)  # host sync 2: (n_dev, n_levels + 1)
     if int(lc[:, n_levels].max()) > 0:
         raise ValueError(
             "oversize smoothing lengths on the sharded path; clip h to the "

@@ -220,7 +220,7 @@ def main() -> int:
         _TAIL_BUCKETS,
         _cached_tail_gather,
         _cached_tail_sort_dense,
-        _next_pow2,
+        _next_size_class,
     )
 
     outs = stage_a(x, y, h, fields)
@@ -230,7 +230,7 @@ def main() -> int:
     res["sync1_s"] = round(time.perf_counter() - t0, 4)
     nbs = tuple(int(v) for v in cvec[3:])
     nbs_tail = nbs[1:]
-    caps = tuple(_next_pow2(nb) if nb else 0 for nb in nbs_tail)
+    caps = tuple(_next_size_class(nb) if nb else 0 for nb in nbs_tail)
     los = np.concatenate([[nbs[0]], np.cumsum(nbs_tail)[:-1] + nbs[0]])
     gather = _cached_tail_gather(caps, 2, bases, len(PALLAS_LEVELS), C)
     g_args = (
