@@ -228,7 +228,7 @@ def main() -> int:
     t0 = time.perf_counter()
     cvec = np.asarray(counts_d)
     res["sync1_s"] = round(time.perf_counter() - t0, 4)
-    nbs = tuple(int(v) for v in cvec[3:])
+    nbs = tuple(int(v) for v in cvec[3 : 3 + len(_TAIL_BUCKETS)])
     nbs_tail = nbs[1:]
     caps = tuple(_next_size_class(nb) if nb else 0 for nb in nbs_tail)
     los = np.concatenate([[nbs[0]], np.cumsum(nbs_tail)[:-1] + nbs[0]])
@@ -271,6 +271,41 @@ def main() -> int:
         lambda: jpack(sorted2), lambda o: float(o[0, 0, 0]), args.repeats
     )
     res["sub_pack_s"] = round(best, 4)
+
+    # ---- deposit split: clip h sub-pixel -> all level-0, no tail; the
+    # remaining cost is the coherent Pallas pass + K=8 overlap-add. The
+    # full-deposit minus this is the tail bodies + their overlap-adds.
+    import jax.numpy as jnp2
+    from astro_sph_tools_tpu.ops.deposit_pallas import _overlap_add
+
+    g0 = geoms[0]
+    h_clip = jnp.minimum(h, 0.9 * (box / shape[0]))
+    tp0 = tile_particles_coherent(x, y, h_clip, fields, spec)
+    t0 = time.perf_counter()
+    out0 = deposit_coherent(tp0, precision="bf16x2")
+    _ = float(out0[0].sum())
+    res["warm_deposit_no_tail_s"] = round(time.perf_counter() - t0, 3)
+    best, _ = _timed(
+        lambda: deposit_coherent(tp0, precision="bf16x2"),
+        lambda o: float(o[0].sum()),
+        args.repeats,
+    )
+    res["deposit_no_tail_s"] = round(best, 4)
+    res["no_tail_candidates"] = int(tp0.stats["n_candidates"])
+    del tp0, out0
+
+    tiles0 = jax.random.normal(
+        jax.random.PRNGKey(0), (g0.n_tiles, 2 * g0.cfg.R, g0.cfg.S), jnp.float32
+    )
+    ny, nx = shape
+    ov = jax.jit(
+        lambda t: _overlap_add(
+            t, g0.cfg, g0.tx, g0.n_tiles_y, g0.n_tiles_x, 2, ny, nx, True
+        )
+    )
+    ov(tiles0)
+    best, _ = _timed(lambda: ov(tiles0), lambda o: float(o[0, 0, 0]), args.repeats)
+    res["sub_overlap_add_k8_s"] = round(best, 4)
 
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
