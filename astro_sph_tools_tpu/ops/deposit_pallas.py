@@ -248,26 +248,30 @@ def _chunk_contrib(
     col0_s = col0.reshape(C, 1)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
 
-    # One-hot placement built ONCE and lane-rolled by one per column step
-    # instead of a fresh (C, S) compare + dtype cast every k. The roll
-    # wraps at the lane boundary, and off-extent particles on non-periodic
-    # maps (e.g. halo cutouts) legitimately carry col0 < 0 or
-    # col0 + k >= S (the old compare silently clipped those columns), so
-    # the one-hot is anchored at the WRAPPED lane and each step's
-    # out-of-range columns are zeroed through a cheap (1, C) weight mask —
-    # exact for every input, while the per-step (C, S) compare+cast is
-    # replaced by one lane rotation.
+    # One-hot placement built ONCE, anchored at each particle's WRAPPED
+    # start lane (off-extent particles on non-periodic maps — e.g. halo
+    # cutouts — legitimately carry col0 < 0 or col0 + k >= S; a plain
+    # compare would silently clip those columns, so each step's
+    # out-of-range columns are zeroed through the cheap (1, C) col_ok
+    # mask instead — exact for every input). Column offset k is applied
+    # on the OUTPUT side: dot(W_k, roll(P0, k)) == roll(dot(W_k, P0), k),
+    # and the sum over k telescopes Horner-style,
+    #   sum_k roll(D_k, k) = D_0 + roll(D_1 + roll(D_2 + ..., 1), 1),
+    # so each step lane-rolls the (F*R, S) f32 accumulator by ONE instead
+    # of the (C, S) one-hot operand — ~C/(F*R) fewer vreg moves per step.
     P_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
     P0 = (s_iota == jnp.mod(col0_s, S)).astype(P_dtype)  # (C, S) one-hot
 
-    # Per column offset k: weights (F*R, C) and one-hot placement (C, S),
-    # accumulated over a fori_loop (keeps Mosaic compile size flat in K —
-    # a fully unrolled+concatenated variant compiled ~10x slower).
+    # Per column offset k: weights (F*R, C) dotted against the fixed
+    # placement, accumulated over a fori_loop in REVERSE k order (keeps
+    # Mosaic compile size flat in K — a fully unrolled+concatenated
+    # variant compiled ~10x slower).
     # NOTE on matmul precision: one-hot operands are exact in bf16, and
     # TPU f32 dots default to bf16 multiplication, so 'f32' must request
     # Precision.HIGHEST explicitly.
-    def k_step(k, carry):
-        contrib, P = carry
+    def k_step(j, contrib):
+        k = (K - 1) - j
+        rolled = pltpu.roll(contrib, 1, 1)
         colk = col0 + k  # (1, C)
         # zero columns the wrapped one-hot would misplace (off-extent
         # support on non-periodic maps)
@@ -290,25 +294,16 @@ def _chunk_contrib(
         w_rows = jnp.concatenate(
             [wk * vals_eff[f : f + 1, :] for f in range(n_fields)], axis=0
         )
-        P_next = pltpu.roll(P, 1, 1)
         if precision == "f32":
-            return (
-                contrib
-                + jnp.dot(
-                    w_rows, P,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ),
-                P_next,
+            return rolled + jnp.dot(
+                w_rows, P0,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         if precision == "bf16":
-            return (
-                contrib
-                + jnp.dot(
-                    w_rows.astype(jnp.bfloat16), P,
-                    preferred_element_type=jnp.float32,
-                ),
-                P_next,
+            return rolled + jnp.dot(
+                w_rows.astype(jnp.bfloat16), P0,
+                preferred_element_type=jnp.float32,
             )
         # bf16x2 / bf16x3: exact placement, split weights into bf16
         # limbs (hi + residuals). Two limbs carry ~16 mantissa bits —
@@ -328,16 +323,15 @@ def _chunk_contrib(
             limbs = jnp.concatenate([hi, lo, l3], axis=0)
         else:
             limbs = jnp.concatenate([hi, lo], axis=0)
-        d = jnp.dot(limbs, P, preferred_element_type=jnp.float32)
+        d = jnp.dot(limbs, P0, preferred_element_type=jnp.float32)
         nr = w_rows.shape[0]
         part = d[:nr] + d[nr : 2 * nr]
         if precision == "bf16x3":
             part = part + d[2 * nr :]
-        return contrib + part, P_next
+        return rolled + part
 
-    contrib, _ = jax.lax.fori_loop(
-        0, K, k_step,
-        (jnp.zeros((n_fields * R, S), jnp.float32), P0),
+    contrib = jax.lax.fori_loop(
+        0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
     )
     return contrib
 

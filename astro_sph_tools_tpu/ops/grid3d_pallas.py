@@ -169,14 +169,17 @@ def _deposit3d_kernel(
 
         col0_s = col0.reshape(C, 1)
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
-        # one-hot placement built once and lane-rolled per column step,
-        # anchored at the wrapped lane with out-of-range columns zeroed by
-        # a (1, C) weight mask (see deposit_pallas._chunk_contrib)
+        # one-hot placement built once, anchored at the wrapped lane with
+        # out-of-range columns zeroed by a (1, C) weight mask; the column
+        # offset k applies on the OUTPUT side Horner-style — each step
+        # lane-rolls the small (F*R, S) f32 accumulator by one instead of
+        # the (C, S) one-hot operand (see deposit_pallas._chunk_contrib)
         P_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
         P0 = (s_iota == jnp.mod(col0_s, S)).astype(P_dtype)
 
-        def k_step(k, carry):
-            contrib, P = carry
+        def k_step(j, contrib):
+            k = (K - 1) - j
+            rolled = pltpu.roll(contrib, 1, 1)
             colk = col0 + k
             col_ok = ((colk >= 0) & (colk < S)).astype(jnp.float32)
             dxn = (colk.astype(jnp.float32) + offset - u_loc) * (psx * inv_h)
@@ -185,41 +188,31 @@ def _deposit3d_kernel(
             w_rows = jnp.concatenate(
                 [wk * vals_eff[f : f + 1, :] for f in range(n_fields)], axis=0
             )
-            P_next = pltpu.roll(P, 1, 1)
             if precision == "f32":
-                return (
-                    contrib
-                    + jnp.dot(
-                        w_rows, P,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ),
-                    P_next,
+                return rolled + jnp.dot(
+                    w_rows, P0,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             if precision == "bf16":
-                return (
-                    contrib
-                    + jnp.dot(
-                        w_rows.astype(jnp.bfloat16), P,
-                        preferred_element_type=jnp.float32,
-                    ),
-                    P_next,
+                return rolled + jnp.dot(
+                    w_rows.astype(jnp.bfloat16), P0,
+                    preferred_element_type=jnp.float32,
                 )
-            # one row-concatenated limb dot: shares P and doubles the MXU
+            # one row-concatenated limb dot: shares P0 and doubles the MXU
             # row occupancy vs two (F*R, C) x (C, S) dots (see
             # deposit_pallas._chunk_contrib)
             hi = w_rows.astype(jnp.bfloat16)
             lo = (w_rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             d = jnp.dot(
-                jnp.concatenate([hi, lo], axis=0), P,
+                jnp.concatenate([hi, lo], axis=0), P0,
                 preferred_element_type=jnp.float32,
             )
             nr = w_rows.shape[0]
-            return contrib + d[:nr] + d[nr:], P_next
+            return rolled + d[:nr] + d[nr:]
 
-        contrib, _ = jax.lax.fori_loop(
-            0, K, k_step,
-            (jnp.zeros((n_fields * R, S), jnp.float32), P0),
+        contrib = jax.lax.fori_loop(
+            0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
         )
         acc_ref[0] += contrib
 
