@@ -353,6 +353,7 @@ def tile_particles_coherent(
     levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
     d_max: int = _D_MAX,
     donate: bool = False,
+    prep: str = "pallas",
 ) -> CoherentLayout:
     """Build the coherent-order layout. ONE small host sync: the stage-A
     counts vector carries candidate/heavy/bucket counts AND the per-level
@@ -402,11 +403,25 @@ def tile_particles_coherent(
     extent = tuple(float(e) for e in spec.extent)
     n_fields = values.shape[0]
 
-    packed, sk, sr, tail_eff, rows_by_bucket, counts = _cached_stage_a(
-        spec.shape, extent, spec.periodic_wrap, bounds, geom_tuples,
-        kspec.support_factor, n_fields, len(levels), bases, d_max, n_rows, C,
-        donate,
-    )(x, y, h, values)
+    if prep == "pallas":
+        from .coherent_prep_pallas import cached_stage_a_pallas
+
+        stage_a = cached_stage_a_pallas(
+            spec.shape, extent, spec.periodic_wrap, bounds, geom_tuples,
+            kspec.support_factor, n_fields, len(levels), bases, d_max,
+            n_rows, C, _TAIL_BUCKETS, donate=donate,
+        )
+    elif prep == "xla":
+        stage_a = _cached_stage_a(
+            spec.shape, extent, spec.periodic_wrap, bounds, geom_tuples,
+            kspec.support_factor, n_fields, len(levels), bases, d_max,
+            n_rows, C, donate,
+        )
+    else:
+        raise ValueError(f"unknown prep engine {prep!r}; use 'pallas'|'xla'")
+    packed, sk, sr, tail_eff, rows_by_bucket, counts = stage_a(
+        x, y, h, values
+    )
     cvec = np.asarray(counts)  # the ONLY host sync
     n_cand, n_heavy, n_tail = (int(v) for v in cvec[:3])
     n_buckets = len(_TAIL_BUCKETS)

@@ -167,6 +167,45 @@ class TestCoherentEngine:
         if lay2.stats["tail_particles"]:
             assert after.hits > before.hits or after.misses == before.misses
 
+    @pytest.mark.parametrize("periodic", [True, False])
+    def test_pallas_prep_matches_xla_stage_a(self, rng, periodic):
+        """The fused Pallas row-prep (coherent_prep_pallas) must produce the
+        same layout invariants and the same rendered image as the XLA
+        stage A it replaces, including heavy rows, off-extent particles on
+        non-periodic maps, and multi-level tails."""
+        from astro_sph_tools_tpu.ops.deposit_pallas import _CHUNK
+
+        box = 10.0
+        spec = MapSpec(
+            shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=periodic
+        )
+        px = box / 128
+        n = 6 * _CHUNK + 37  # non-chunk-aligned
+        x, y, h, m = _coherent_set(rng, n, box, px)
+        # make some rows heavy (random order) and push lanes off-extent
+        sl = slice(2 * _CHUNK, 3 * _CHUNK)
+        x[sl] = rng.uniform(0, box, _CHUNK).astype(np.float32)
+        y[sl] = rng.uniform(0, box, _CHUNK).astype(np.float32)
+        if not periodic:
+            x[::131] += 1.5 * box  # off-extent support clipping path
+        fields = np.stack([m, (m * 0.5).astype(np.float32)])
+        lays = {
+            prep: tile_particles_coherent(x, y, h, fields, spec, prep=prep)
+            for prep in ("xla", "pallas")
+        }
+        for key in ("n_candidates", "heavy_rows", "tail_particles",
+                    "routed_particles", "tail_bucket_rows"):
+            assert lays["pallas"].stats[key] == lays["xla"].stats[key], key
+        imgs = {
+            prep: np.asarray(deposit_coherent(lay, precision="f32"))
+            for prep, lay in lays.items()
+        }
+        rel = (
+            np.abs(imgs["pallas"] - imgs["xla"]).max()
+            / np.abs(imgs["xla"]).max()
+        )
+        assert rel < 1e-5
+
     def test_integrated_projection(self, rng):
         box = 8.0
         spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
