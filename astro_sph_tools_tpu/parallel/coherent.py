@@ -99,6 +99,7 @@ def deposit_2d_coherent_sharded(
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
     projection: str = "kernel3d",
+    prep: str = "pallas",
 ) -> Array:
     """Particle-sharded coherent-order adaptive deposit; returns the
     psum-reduced (ny, nx) or (F, ny, nx) map stack (replicated).
@@ -148,13 +149,29 @@ def deposit_2d_coherent_sharded(
     extent = tuple(float(e) for e in spec.extent)
     n_levels = len(levels)
 
-    stage_a = partial(
-        _assign_and_rowsort,
-        shape=spec.shape, extent=extent, periodic=spec.periodic_wrap,
-        bounds=bounds, geom_tuples=geom_tuples,
-        support_factor=kspec.support_factor, n_fields=n_fields,
-        n_levels=n_levels, bases=bases, d_max=d_max, n_rows=n_rows_l, C=C,
-    )
+    if prep == "pallas":
+        from ..ops.coherent_prep_pallas import _stage_a_pallas
+
+        stage_a = partial(
+            _stage_a_pallas,
+            shape=spec.shape, extent=extent, periodic=spec.periodic_wrap,
+            bounds=bounds, geom_tuples=geom_tuples,
+            support_factor=kspec.support_factor, n_fields=n_fields,
+            n_levels=n_levels, bases=bases, d_max=d_max, n_rows=n_rows_l,
+            C=C, RB=min(8, n_rows_l), interpret=interpret,
+            tail_buckets=_TAIL_BUCKETS,
+        )
+    elif prep == "xla":
+        stage_a = partial(
+            _assign_and_rowsort,
+            shape=spec.shape, extent=extent, periodic=spec.periodic_wrap,
+            bounds=bounds, geom_tuples=geom_tuples,
+            support_factor=kspec.support_factor, n_fields=n_fields,
+            n_levels=n_levels, bases=bases, d_max=d_max, n_rows=n_rows_l,
+            C=C,
+        )
+    else:
+        raise ValueError(f"unknown prep engine {prep!r}; use 'pallas'|'xla'")
 
     shmap = partial(jax.shard_map, mesh=mesh, check_vma=False)
 

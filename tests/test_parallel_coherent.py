@@ -28,7 +28,8 @@ def mesh():
 
 
 class TestShardedCoherent:
-    def test_matches_single_device_engine(self, mesh, rng):
+    @pytest.mark.parametrize("prep", ["pallas", "xla"])
+    def test_matches_single_device_engine(self, mesh, rng, prep):
         box = 10.0
         spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
         px = box / 128
@@ -38,7 +39,7 @@ class TestShardedCoherent:
         xp, yp, hp, vp = pad_particles_mesh(x, y, h, fields, spec, 8)
         img = np.asarray(
             deposit_2d_coherent_sharded(
-                xp, yp, hp, vp, spec, mesh, precision="f32"
+                xp, yp, hp, vp, spec, mesh, precision="f32", prep=prep
             )
         )
         assert img.shape == ref.shape
