@@ -308,7 +308,8 @@ def cached_stage_a_pallas(
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    RB = min(RB, n_rows)
+    while n_rows % RB:
+        RB //= 2  # grid must cover every row block exactly
     fn = partial(
         _stage_a_pallas,
         shape=shape, extent=extent, periodic=periodic, bounds=bounds,

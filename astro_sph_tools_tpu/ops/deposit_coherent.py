@@ -25,8 +25,9 @@ count:
 4. **Bucketed tail extraction**: each row's *tail* — its level>=1 lanes
    (large-h particles; the row sort parks them at the row's end), or all C
    lanes for a heavy row — is pulled out by a row-granularity gather sized
-   to the next pow2 tail bucket (32..2048 lanes; element gathers are
-   latency-bound on TPU, row-window slices are DMA-friendly). For real
+   to the next half-octave tail bucket (32..2048 lanes in x1.5/x1.33
+   steps; element gathers are latency-bound on TPU, row-window slices are
+   DMA-friendly). For real
    snapshots this shrinks the global tail sort to ~1.5x the true level>=1
    lane count (3-5% of N) instead of the 30%+ that fixed-slab/whole-row
    routing paid, and the per-level tail bodies see proportionally fewer
@@ -176,7 +177,7 @@ def _assign_and_rowsort(
     n_heavy = (~coherent).sum().astype(jnp.int32)
     n_tail = tail_eff.sum().astype(jnp.int32)
 
-    # group rows by pow2 tail bucket (tail-free rows sort past the last
+    # group rows by half-octave tail bucket (tail-free rows sort past the last
     # bucket); the gather stage slices each bucket's rows contiguously
     thr = jnp.asarray(_TAIL_BUCKETS, jnp.int32)
     bucket = jnp.searchsorted(thr, tail_eff, side="left").astype(jnp.int32)

@@ -152,13 +152,16 @@ def deposit_2d_coherent_sharded(
     if prep == "pallas":
         from ..ops.coherent_prep_pallas import _stage_a_pallas
 
+        rb = 8
+        while n_rows_l % rb:  # grid must cover every row block exactly
+            rb //= 2
         stage_a = partial(
             _stage_a_pallas,
             shape=spec.shape, extent=extent, periodic=spec.periodic_wrap,
             bounds=bounds, geom_tuples=geom_tuples,
             support_factor=kspec.support_factor, n_fields=n_fields,
             n_levels=n_levels, bases=bases, d_max=d_max, n_rows=n_rows_l,
-            C=C, RB=min(8, n_rows_l), interpret=interpret,
+            C=C, RB=rb, interpret=interpret,
             tail_buckets=_TAIL_BUCKETS,
         )
     elif prep == "xla":

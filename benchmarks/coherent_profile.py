@@ -155,6 +155,22 @@ def main() -> int:
                      "n_tail": int(counts[2])}
     del outs
 
+    # ---- fused Pallas stage A (the prep="pallas" engine) ----
+    from astro_sph_tools_tpu.ops.coherent_prep_pallas import (
+        cached_stage_a_pallas,
+    )
+    from astro_sph_tools_tpu.ops.deposit_coherent import _TAIL_BUCKETS
+
+    stage_a_p = cached_stage_a_pallas(
+        spec.shape, extent, True, bounds, geom_tuples, kspec.support_factor,
+        2, len(PALLAS_LEVELS), bases, 8, n_rows, C, _TAIL_BUCKETS,
+    )
+    fnp = lambda: stage_a_p(x, y, h, fields)
+    fnp()  # warm
+    best, outs = _timed(fnp, close, args.repeats)
+    res["stage_a_pallas_s"] = round(best, 4)
+    del outs
+
     # ---- stage A sub-pieces, re-jitted standalone ----
     def assign_only(x_, y_, h_):
         ny, nx = spec.shape

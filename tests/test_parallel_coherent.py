@@ -66,6 +66,27 @@ class TestShardedCoherent:
         )
         assert rel_err(img[0], ref[0]) < 5e-5  # partition-order f32 class
 
+    def test_nondivisible_rows_per_shard(self, mesh, rng):
+        """12 rows per shard (not divisible by the prep's preferred 8-row
+        block): RB must fall back to a divisor (8->4), or the trailing
+        rows of every shard would silently carry garbage."""
+        from astro_sph_tools_tpu.ops.deposit_pallas import _CHUNK
+
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 64
+        n = 8 * 12 * _CHUNK  # exactly 12 chunk rows per shard, no padding
+        x, y, h, m = _coherent_set(rng, n, box, px, h_clip=8.0)
+        ref = np.asarray(
+            deposit_2d_auto(x, y, h, np.stack([m]), spec, precision="f32")
+        )
+        xp, yp, hp, vp = pad_particles_mesh(x, y, h, m, spec, 8)
+        assert xp.shape[0] == n  # already aligned: no pad rows
+        img = np.asarray(
+            deposit_2d_coherent_sharded(xp, yp, hp, vp, spec, mesh, precision="f32")
+        )
+        assert rel_err(img[0], ref[0]) < 5e-5
+
     def test_single_field_and_validation(self, mesh, rng):
         box = 8.0
         spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
