@@ -121,7 +121,8 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
     return x, y, h, fields
 
 
-def run(n: int, order: str, repeats: int = 3, engine: str = "sorted") -> dict:
+def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
+        prep: str = "pallas") -> dict:
     import jax
 
     jax.config.update(
@@ -157,7 +158,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted") -> dict:
     # north-star wall is layout + deposit)
     if engine == "coherent":
         def build(*a):
-            return tile_particles_coherent(*a, donate=True)
+            return tile_particles_coherent(*a, donate=True, prep=prep)
 
         def render(tp):
             return deposit_coherent(tp, precision="bf16x2")
@@ -215,6 +216,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted") -> dict:
         "n_particles": n,
         "order": order,
         "engine": engine,
+        "prep": prep if engine == "coherent" else None,
         "wall_s": round(wall, 4),
         "budget_s": BUDGET_S,
         "pass": bool(wall < BUDGET_S and n >= 1.25e8),
@@ -235,11 +237,12 @@ def main() -> int:
     ap.add_argument("--order", choices=("morton", "random", "both"), default="morton")
     ap.add_argument("--engine", choices=("sorted", "coherent"), default="sorted")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--prep", choices=("pallas", "xla"), default="pallas")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     orders = ("morton", "random") if args.order == "both" else (args.order,)
-    results = [run(args.n, o, args.repeats, args.engine) for o in orders]
+    results = [run(args.n, o, args.repeats, args.engine, args.prep) for o in orders]
     payload = results[0] if len(results) == 1 else {**results[0], "random_order": results[1]}
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "NORTHSTAR.json"
