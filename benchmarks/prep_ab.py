@@ -105,6 +105,27 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         res[f"{name}_stage_a_s"] = round(best, 4)
         del outs
+    # RB sweep: larger row blocks amortise per-step grid overhead
+    for rb in (16, 32):
+        if n_rows % rb:
+            continue
+        fn = cached_stage_a_pallas(
+            spec.shape, extent, True, bounds, geom_tuples,
+            kspec.support_factor, 2, len(PALLAS_LEVELS), bases, 8, n_rows, C,
+            _TAIL_BUCKETS, RB=rb,
+        )
+        outs = fn(x, y, h, fields)
+        _ = np.asarray(outs[5])
+        best = 1e30
+        for _ in range(args.repeats):
+            del outs
+            t0 = time.perf_counter()
+            outs = fn(x, y, h, fields)
+            _ = np.asarray(outs[5])
+            best = min(best, time.perf_counter() - t0)
+        res[f"pallas_rb{rb}_s"] = round(best, 4)
+        del outs
+
     res["counts_match"] = bool(np.array_equal(counts["xla"], counts["pallas"]))
     res["counts"] = {
         "n_cand": int(counts["xla"][0]),
