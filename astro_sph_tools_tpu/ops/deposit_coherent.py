@@ -359,7 +359,7 @@ def tile_particles_coherent(
     levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
     d_max: int = _D_MAX,
     donate: bool = False,
-    prep: str = "pallas",
+    prep: str = "xla",
 ) -> CoherentLayout:
     """Build the coherent-order layout. ONE small host sync: the stage-A
     counts vector carries candidate/heavy/bucket counts AND the per-level

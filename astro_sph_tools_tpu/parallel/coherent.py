@@ -99,7 +99,7 @@ def deposit_2d_coherent_sharded(
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
     projection: str = "kernel3d",
-    prep: str = "pallas",
+    prep: str = "xla",
 ) -> Array:
     """Particle-sharded coherent-order adaptive deposit; returns the
     psum-reduced (ny, nx) or (F, ny, nx) map stack (replicated).

@@ -122,7 +122,7 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
 
 
 def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
-        prep: str = "pallas") -> dict:
+        prep: str = "xla") -> dict:
     import jax
 
     jax.config.update(
@@ -237,7 +237,7 @@ def main() -> int:
     ap.add_argument("--order", choices=("morton", "random", "both"), default="morton")
     ap.add_argument("--engine", choices=("sorted", "coherent"), default="sorted")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--prep", choices=("pallas", "xla"), default="pallas")
+    ap.add_argument("--prep", choices=("pallas", "xla"), default="xla")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
