@@ -17,7 +17,14 @@ from .deposit_coherent import (
     tile_particles_coherent,
 )
 from .grid3d import GridSpec, deposit_3d
-from .grid3d_pallas import PALLAS_3D_LEVELS, deposit_3d_auto, deposit_3d_pallas
+from .grid3d_pallas import (
+    PALLAS_3D_LEVELS,
+    Tiled3DParticles,
+    deposit_3d_auto,
+    deposit_3d_pallas,
+    deposit_3d_tiled,
+    tile_particles_3d,
+)
 from .interp import cubic_spline_1d, regular_grid_interpolate
 from .neighbors import (
     knn_distances,
@@ -72,6 +79,9 @@ __all__ = [
     "deposit_2d_pallas",
     "deposit_3d",
     "deposit_3d_auto",
+    "deposit_3d_tiled",
+    "tile_particles_3d",
+    "Tiled3DParticles",
     "deposit_3d_pallas",
     "PALLAS_3D_LEVELS",
     "deposit_weighted_mean",

@@ -32,7 +32,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels.splines import get_kernel
-from .deposit_pallas import _TILE_MASK, _next_pow2, _step_schedule, _tile_ranges
+from .deposit_pallas import (
+    _LEVEL_STRIDE,
+    _TILE_MASK,
+    _as_field_matrix,
+    _next_pow2,
+    _step_schedule,
+    _tile_ranges,
+)
 from .grid3d import GridSpec
 
 Array = jax.Array
@@ -488,6 +495,329 @@ def deposit_3d_pallas(
     return grid[0] if n_fields == 1 else grid
 
 
+@dataclass(frozen=True)
+class Tiled3DParticles:
+    """Device-resident multi-level 3D tile-sorted layout (the 3D analogue
+    of :class:`deposit_pallas.TiledParticles`): one fused composite-key
+    sort assigns every particle a footprint level and a tile under that
+    level's geometry; per-level segments are pow2-bucketed so the compiled
+    programs are shared across snapshots. The only host sync is the
+    per-level counts vector."""
+
+    spec: GridSpec
+    kernel: str
+    geoms: tuple  # per populated level: (_Geometry3D, lo, bucket, count)
+    sorted_u: Array  # voxel-space coords, (level, tile)-sorted + N/2 slack
+    sorted_v: Array
+    sorted_w: Array
+    sorted_h: Array
+    sorted_values: Array  # (F, N + slack)
+    sorted_tile: Array  # level-local tile ids
+    n_sorted: int
+    n_oversize: int
+    n_valid: int
+
+    @property
+    def n_fields(self) -> int:
+        return self.sorted_values.shape[0]
+
+
+def _multi_level_assign_3d(
+    u, v, w, s_vox, bounds, ntx_t, nty_t, ntz_t, ty_t, tz_t, tx_t, m_t, xp
+):
+    """(level, tile id, tile-LOCAL voxel coords) per particle under each
+    level's 3D geometry. Oversize/disabled-level particles keep GLOBAL
+    voxel coordinates (tile 0) so the dense fallback can recover world
+    positions (mirrors :func:`deposit_pallas._multi_level_assign`)."""
+    n_levels = len(bounds)
+    level = xp.full(u.shape, n_levels, xp.int32)
+    for li in range(n_levels - 1, -1, -1):
+        if bounds[li] >= 0:
+            level = xp.where(s_vox <= bounds[li], xp.int32(li), level)
+    tile = xp.zeros(u.shape, xp.int32)
+    u_loc, v_loc, w_loc = u, v, w
+    for li in range(n_levels):
+        if bounds[li] < 0:
+            continue
+        txi = xp.clip((u / tx_t[li]).astype(xp.int32), 0, ntx_t[li] - 1)
+        tyi = xp.clip((v / ty_t[li]).astype(xp.int32), 0, nty_t[li] - 1)
+        tzi = xp.clip((w / tz_t[li]).astype(xp.int32), 0, ntz_t[li] - 1)
+        sel = level == li
+        tile = xp.where(sel, (tzi * nty_t[li] + tyi) * ntx_t[li] + txi, tile)
+        u_loc = xp.where(sel, u - (txi * tx_t[li] - m_t[li]), u_loc)
+        v_loc = xp.where(sel, v - (tyi * ty_t[li] - m_t[li]), v_loc)
+        w_loc = xp.where(sel, w - (tzi * tz_t[li] - m_t[li]), w_loc)
+    return level, tile, u_loc, v_loc, w_loc
+
+
+@lru_cache(maxsize=256)
+def _cached_tile_sort_3d(
+    shape, extent, periodic, bounds, ntx_t, nty_t, ntz_t, ty_t, tz_t, tx_t,
+    m_t, support_factor, n_fields, donate=False,
+):
+    n_levels = len(bounds)
+
+    def run(cx, cy, cz, h, values):
+        nz, ny, nx = shape
+        x0, x1, y0, y1, z0, z1 = extent
+        psx = (x1 - x0) / nx
+        psy = (y1 - y0) / ny
+        psz = (z1 - z0) / nz
+        u = (cx - x0) / psx
+        v = (cy - y0) / psy
+        w = (cz - z0) / psz
+        per_x, per_y, per_z = periodic
+        if per_x:
+            u = jnp.mod(u, nx)
+        if per_y:
+            v = jnp.mod(v, ny)
+        if per_z:
+            w = jnp.mod(w, nz)
+        s_vox = support_factor * h / min(psx, psy, psz)
+        level, tile, u_loc, v_loc, w_loc = _multi_level_assign_3d(
+            u, v, w, s_vox, bounds, ntx_t, nty_t, ntz_t, ty_t, tz_t, tx_t,
+            m_t, jnp,
+        )
+        key = level * _LEVEL_STRIDE + tile
+        operands = [key, u_loc, v_loc, w_loc, h] + [
+            values[f] for f in range(n_fields)
+        ]
+        sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=False)
+        skey, su, sv, sw, sh = sorted_ops[:5]
+        s_values = jnp.stack(sorted_ops[5:], axis=0)
+        lv = jnp.arange(n_levels + 1, dtype=jnp.int32) * _LEVEL_STRIDE
+        starts = jnp.searchsorted(skey, lv).astype(jnp.int32)
+        ends = jnp.searchsorted(
+            skey, lv + (_LEVEL_STRIDE - 1), side="right"
+        ).astype(jnp.int32)
+        counts = ends - starts
+        s_tile = skey - (skey // _LEVEL_STRIDE) * _LEVEL_STRIDE
+        # N/2 slack: per-level (lo, pow2-bucket) reads stay dynamic_slices
+        # (same bound argument as deposit_pallas._tile_sort_tail)
+        n = u.shape[0]
+        slack = max(n // 2, _CHUNK)
+        pad1 = lambda a: jnp.pad(a, (0, slack))
+        return (
+            pad1(s_tile), pad1(su), pad1(sv), pad1(sw), pad1(sh),
+            jnp.pad(s_values, ((0, 0), (0, slack))), counts,
+        )
+
+    return jax.jit(run, donate_argnums=(0, 1, 2, 3, 4) if donate else ())
+
+
+def tile_particles_3d(
+    pos, h, values, spec: GridSpec,
+    *,
+    kernel: str = "cubic_spline",
+    levels: tuple[Pallas3DConfig, ...] = PALLAS_3D_LEVELS,
+    donate: bool = False,
+) -> Tiled3DParticles:
+    """Build the device-resident multi-level 3D layout with ONE fused sort
+    (replaces the former host-side level split: np.nonzero + fancy indexing
+    + one global sort per level cost seconds at 1e8 scale)."""
+    kspec = get_kernel(kernel)
+    values, _ = _as_field_matrix(values)
+    n_valid = int(values.shape[1])
+    pos = jnp.asarray(pos, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    values = jnp.asarray(values, jnp.float32)
+    n_fields = int(values.shape[0])
+    if n_fields > 4:
+        raise ValueError("3D pallas deposit supports at most 4 fields per pass")
+
+    periodic = (spec.periodic_wrap,) * 3
+    geoms: list[Optional[_Geometry3D]] = []
+    for cfg in levels:
+        try:
+            geoms.append(_geometry_3d(cfg, spec.shape, periodic))
+        except ValueError:
+            geoms.append(None)
+    for g in geoms:
+        if g is not None and g.n_tiles >= _LEVEL_STRIDE:
+            raise ValueError(
+                f"{g.n_tiles} tiles at the K={g.cfg.K} level exceed the "
+                f"composite-key stride ({_LEVEL_STRIDE}); grid the cube in "
+                "sub-extents"
+            )
+    bounds = tuple(
+        (g.cfg.max_s_vox if g is not None else -1.0) for g in geoms
+    )
+    geom_tuples = (
+        tuple(g.ntx if g else 1 for g in geoms),
+        tuple(g.nty if g else 1 for g in geoms),
+        tuple(g.ntz if g else 1 for g in geoms),
+        tuple(g.cfg.TY if g else 1 for g in geoms),
+        tuple(g.cfg.TZ if g else 1 for g in geoms),
+        tuple(g.tx if g else 1 for g in geoms),
+        tuple(g.cfg.M if g else 0 for g in geoms),
+    )
+    extent = tuple(float(e) for e in spec.extent)
+
+    # pow2 pad: parks at the extent max with sub-voxel h (lands in the
+    # smallest level, weight 0)
+    n = int(pos.shape[0])
+    n_bucket = max(_CHUNK, _next_pow2(n))
+    if n_bucket != n:
+        pad = n_bucket - n
+        pad_h = 0.1 * min(spec.voxel_size)
+        pos = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=float(extent[1]))
+        h = jnp.pad(h, (0, pad), constant_values=pad_h)
+        values = jnp.pad(values, ((0, 0), (0, pad)))
+
+    s_tile, su, sv, sw, sh, s_values, counts = _cached_tile_sort_3d(
+        spec.shape, extent, periodic, bounds, *geom_tuples,
+        kspec.support_factor, n_fields, donate,
+    )(pos[:, 0], pos[:, 1], pos[:, 2], h, values)
+
+    counts_host = np.asarray(counts)  # host sync: len(levels)+1 ints
+    level_meta = []
+    lo = 0
+    for li, g in enumerate(geoms):
+        c = int(counts_host[li])
+        if g is not None and c > 0:
+            level_meta.append((g, lo, max(_CHUNK, _next_pow2(c)), c))
+        lo += c
+
+    return Tiled3DParticles(
+        spec=spec, kernel=kernel, geoms=tuple(level_meta),
+        sorted_u=su, sorted_v=sv, sorted_w=sw, sorted_h=sh,
+        sorted_values=s_values, sorted_tile=s_tile,
+        n_sorted=int(h.shape[0]),
+        n_oversize=int(counts_host[len(geoms)]),
+        n_valid=n_valid,
+    )
+
+
+def _layout_level_body_3d(
+    geom, shape, extent, periodic, offset, n_fields, kernel, precision,
+    interpret, bucket,
+    su, sv, sw, sh, s_values, s_tile, lo, count,
+):
+    """Traced: render one 3D level from the sorted layout (bucketed
+    dynamic_slice segment -> flat-grid Pallas pass -> 27-band overlap-add)."""
+    C = _CHUNK
+    cfg, tx = geom.cfg, geom.tx
+    nz, ny, nx = shape
+    x0, x1, y0, y1, z0, z1 = extent
+    psx = (x1 - x0) / nx
+    psy = (y1 - y0) / ny
+    psz = (z1 - z0) / nz
+    n_rows = bucket // C
+    n_tiles = geom.n_tiles
+    n_steps = n_rows + 2 * n_tiles
+
+    live = jnp.arange(bucket, dtype=jnp.int32) < count
+    u = jax.lax.dynamic_slice(su, (lo,), (bucket,))
+    v = jax.lax.dynamic_slice(sv, (lo,), (bucket,))
+    w = jax.lax.dynamic_slice(sw, (lo,), (bucket,))
+    h = jnp.where(live, jax.lax.dynamic_slice(sh, (lo,), (bucket,)), 1.0)
+    vals = jnp.where(
+        live[None, :],
+        jax.lax.dynamic_slice(s_values, (0, lo), (s_values.shape[0], bucket)),
+        0.0,
+    )
+    tile = jnp.where(
+        live, jax.lax.dynamic_slice(s_tile, (lo,), (bucket,)), n_tiles
+    ).astype(jnp.int32)
+
+    pstart, pcount, block_start, nchunks = _tile_ranges(tile, n_tiles, C)
+    sched, tile_off = _step_schedule(nchunks, n_tiles, n_steps)
+    pack = lambda a: a.reshape(n_rows, C)
+    channels = [pack(u), pack(v), pack(w), pack(h)]
+    channels += [pack(vals[f]) for f in range(n_fields)]
+    channels += [jnp.zeros((n_rows, C), jnp.float32)] * (8 - len(channels))
+    packed = jnp.stack(channels, axis=1)
+
+    tiles = _cached_3d_call(
+        cfg, geom.ntx, geom.nty, n_steps, n_rows, n_fields, tx,
+        kernel, psx, psy, psz, offset, precision, interpret, geom.ntz,
+    )(sched, block_start, tile_off, pstart, pcount, packed)
+    return _overlap_add_3d(
+        tiles, cfg, tx, geom.ntz, geom.nty, geom.ntx, n_fields, nz, ny, nx,
+        periodic,
+    )
+
+
+@lru_cache(maxsize=256)
+def _cached_layout_all_levels_3d(
+    metas_static, shape, extent, periodic, offset, n_fields, kernel,
+    precision, interpret,
+):
+    """ONE jitted program rendering every populated 3D level (separate
+    per-level programs each pay a dispatch round-trip through the tunnel)."""
+
+    @jax.jit
+    def run(su, sv, sw, sh, s_values, s_tile, los, counts):
+        nz, ny, nx = shape
+        total = jnp.zeros((n_fields, nz, ny, nx), jnp.float32)
+        for i, (geom, bucket) in enumerate(metas_static):
+            total = total + _layout_level_body_3d(
+                geom, shape, extent, periodic, offset, n_fields, kernel,
+                precision, interpret, bucket,
+                su, sv, sw, sh, s_values, s_tile, los[i], counts[i],
+            )
+        return total
+
+    return run
+
+
+def deposit_3d_tiled(
+    tp: Tiled3DParticles,
+    *,
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Render the full adaptive-h voxel cube from a :class:`Tiled3DParticles`
+    layout. Returns (F, nz, ny, nx)."""
+    _check_precision_3d(precision)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nz, ny, nx = tp.spec.shape
+    periodic = (tp.spec.periodic_wrap,) * 3
+    if tp.geoms:
+        metas_static = tuple((meta[0], meta[2]) for meta in tp.geoms)
+        los = jnp.asarray([int(meta[1]) for meta in tp.geoms], jnp.int32)
+        counts = jnp.asarray([int(meta[3]) for meta in tp.geoms], jnp.int32)
+        total = _cached_layout_all_levels_3d(
+            metas_static, tp.spec.shape,
+            tuple(float(e) for e in tp.spec.extent), periodic,
+            tp.spec.sample_offset, tp.n_fields, tp.kernel, precision,
+            interpret,
+        )(tp.sorted_u, tp.sorted_v, tp.sorted_w, tp.sorted_h,
+          tp.sorted_values, tp.sorted_tile, los, counts)
+    else:
+        total = jnp.zeros((tp.n_fields, nz, ny, nx), jnp.float32)
+
+    if tp.n_oversize:
+        from .grid3d import deposit_3d  # late import: sibling module
+
+        # oversize stragglers kept GLOBAL voxel coords (assign default)
+        x0, x1, y0, y1, z0, z1 = tp.spec.extent
+        psx = (x1 - x0) / nx
+        psy = (y1 - y0) / ny
+        psz = (z1 - z0) / nz
+        sl = slice(tp.n_sorted - tp.n_oversize, tp.n_sorted)
+        po = np.stack(
+            [
+                np.asarray(tp.sorted_u[sl]) * psx + x0,
+                np.asarray(tp.sorted_v[sl]) * psy + y0,
+                np.asarray(tp.sorted_w[sl]) * psz + z0,
+            ],
+            axis=1,
+        )
+        ho = np.asarray(tp.sorted_h[sl])
+        vo = np.asarray(tp.sorted_values[:, sl])
+        grid = np.asarray(
+            deposit_3d(po, ho, vo.T, tp.spec, kernel=tp.kernel)
+        )
+        total = total + (
+            jnp.asarray(grid)[None]
+            if grid.ndim == 3
+            else jnp.moveaxis(jnp.asarray(grid), -1, 0)
+        )
+    return total
+
+
 def deposit_3d_auto(
     pos, h, values, spec: GridSpec,
     *,
@@ -495,46 +825,11 @@ def deposit_3d_auto(
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
 ):
-    """Adaptive-h 3D deposit across Pallas levels with XLA fallback."""
-    from .grid3d import deposit_3d
-
-    pos = np.asarray(pos)
-    h_np = np.asarray(h)
-    values_np = np.asarray(values)
-    single = values_np.ndim == 1
-    if single:
-        values_np = values_np[None, :]
-    kspec = get_kernel(kernel)
-    voxel = min(spec.voxel_size)
-    s_vox = kspec.support_factor * h_np / voxel
-    bounds = [cfg.max_s_vox for cfg in PALLAS_3D_LEVELS]
-    level_idx = np.searchsorted(np.asarray(bounds), s_vox, side="left")
-
-    nz, ny, nx = spec.shape
-    total = jnp.zeros((values_np.shape[0], nz, ny, nx), jnp.float32)
-    for li, cfg in enumerate(PALLAS_3D_LEVELS):
-        idx = np.nonzero(level_idx == li)[0]
-        if idx.size == 0:
-            continue
-        try:
-            _geometry_3d(cfg, spec.shape, (spec.periodic_wrap,) * 3)
-        except ValueError:
-            level_idx[idx] = len(PALLAS_3D_LEVELS)
-            continue
-        grid = deposit_3d_pallas(
-            pos[idx], h_np[idx], values_np[:, idx], spec,
-            kernel=kernel, precision=precision, level=cfg, interpret=interpret,
-        )
-        total = total + (grid[None] if grid.ndim == 3 else grid)
-
-    oversize = np.nonzero(level_idx >= len(PALLAS_3D_LEVELS))[0]
-    if oversize.size:
-        grid = deposit_3d(
-            pos[oversize], h_np[oversize], values_np[:, oversize].T, spec, kernel=kernel
-        )
-        grid = np.asarray(grid)
-        total = total + (
-            jnp.asarray(grid)[None] if grid.ndim == 3 else jnp.moveaxis(jnp.asarray(grid), -1, 0)
-        )
-
+    """Adaptive-h 3D deposit: device-resident level/tile partition (one
+    fused sort), one fused program for every populated footprint level,
+    oversize stragglers routed to the XLA dense path. Returns (nz, ny, nx)
+    or (F, nz, ny, nx)."""
+    values, single = _as_field_matrix(values)
+    tp = tile_particles_3d(pos, h, values, spec, kernel=kernel)
+    total = deposit_3d_tiled(tp, precision=precision, interpret=interpret)
     return total[0] if single else total

@@ -86,3 +86,46 @@ class TestPallas3D:
         got = np.asarray(deposit_3d_auto(pos, h, m, spec, precision="f32"))
         expected = grid3d_oracle(pos, h, m, spec.shape, spec.extent)
         assert rel_err(got, expected) < 1e-5
+
+    def test_auto_mixed_periodic_multifield(self, rng):
+        """Device-resident multi-level layout: periodic wrap + 2 fields +
+        off-extent positions through the one-fused-sort path."""
+        box = 8.0
+        spec = GridSpec(
+            shape=(16, 16, 16), extent=(0.0, box) * 3, periodic_wrap=True
+        )
+        vox = box / 16
+        n = 700  # non-pow2: exercises the pow2 pad slot routing
+        pos = rng.uniform(-box, 2 * box, (n, 3))  # wraps into the box
+        h = 10.0 ** rng.uniform(-0.5, 0.7, n) * vox * 0.4
+        m = rng.uniform(0.5, 2.0, n)
+        fields = np.stack([m, m * rng.uniform(1, 2, n)])
+        got = np.asarray(deposit_3d_auto(pos, h, fields, spec, precision="f32"))
+        assert got.shape == (2, 16, 16, 16)
+        wrapped = np.mod(pos, box)
+        for f in range(2):
+            expected = grid3d_oracle(
+                wrapped, h, fields[f], spec.shape, spec.extent, periodic=True
+            )
+            assert rel_err(got[f], expected) < 1e-5
+
+    def test_layout_reuse_and_meta(self, rng):
+        """tile_particles_3d builds the layout once; deposit_3d_tiled renders
+        from it, and per-level metas cover exactly the non-oversize count."""
+        from astro_sph_tools_tpu.ops.grid3d_pallas import (
+            deposit_3d_tiled,
+            tile_particles_3d,
+        )
+
+        box = 8.0
+        spec = GridSpec(shape=(16, 16, 16), extent=(0.0, box) * 3)
+        vox = box / 16
+        n = 400
+        pos = rng.uniform(0, box, (n, 3))
+        h = 10.0 ** rng.uniform(-0.5, 0.9, n) * vox * 0.4
+        m = rng.uniform(0.5, 2.0, n)
+        tp = tile_particles_3d(pos, h, np.stack([m]), spec)
+        assert sum(meta[3] for meta in tp.geoms) + tp.n_oversize == tp.n_sorted
+        got = np.asarray(deposit_3d_tiled(tp, precision="f32"))[0]
+        expected = grid3d_oracle(pos, h, m, spec.shape, spec.extent)
+        assert rel_err(got, expected) < 1e-5
