@@ -55,6 +55,38 @@ def _random_case(seed: int):
     return x, y, h, vals, spec
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_grid3d_auto_random_configs(seed):
+    """Device-resident multi-level 3D layout vs the f64 voxel oracle on
+    random shapes, periodicity, field counts, and h ranges (incl. the
+    oversize dense fallback)."""
+    from astro_sph_tools_tpu.ops import GridSpec, deposit_3d_auto
+    from oracles import grid3d_oracle
+
+    rng = np.random.default_rng(100 + seed)
+    box = float(rng.uniform(4.0, 20.0))
+    res = int(rng.choice([12, 16, 24]))
+    periodic = bool(rng.integers(0, 2))
+    n_fields = int(rng.integers(1, 3))
+    n = int(rng.integers(300, 3_000))
+    vox = box / res
+    pos = rng.uniform(0, box, (n, 3))
+    h = 10.0 ** rng.uniform(-0.6, rng.uniform(0.5, 1.0), n) * vox * 0.4
+    vals = rng.uniform(0.1, 2.0, (n_fields, n))
+    spec = GridSpec(
+        shape=(res, res, res), extent=(0.0, box) * 3, periodic_wrap=periodic
+    )
+    got = np.asarray(deposit_3d_auto(pos, h, vals, spec, precision="f32"))
+    if got.ndim == 3:
+        got = got[None]
+    for f in range(n_fields):
+        ref = grid3d_oracle(
+            pos, h, vals[f], spec.shape, spec.extent, periodic=periodic
+        )
+        rel = np.abs(got[f] - ref).max() / np.abs(ref).max()
+        assert rel < 2e-5, (seed, f, rel)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_engines_agree_on_random_configs(seed):
     x, y, h, vals, spec = _random_case(seed)
