@@ -32,15 +32,56 @@ class _BenchTimeout(Exception):
     pass
 
 
+_MAX_ATTEMPTS = 4
+_PROBE_TRIES = 16  # ~75 min of tunnel-recovery patience before attempt 1
+_PROBE_SLEEP = 240
+
+
+def _device_probe_ok(timeout_s: int = 90) -> bool:
+    """Run a trivial device op in a SUBPROCESS. A wedged axon tunnel hangs
+    (or poisons) the process that touched it, so the probe must never share
+    a process with the real run."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp; print(float(jnp.arange(4).sum()))",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main() -> None:
     # The axon TPU tunnel wedges/restarts spontaneously (recoveries observed
-    # between ~2 and ~60 minutes); a wedged device HANGS rather than raising,
-    # so each attempt runs under a SIGALRM watchdog, then retries after a
-    # cool-down rather than failing the round's benchmark on a transient.
-    # The first in-process warm-up of the 1.34e8-particle pipeline costs
-    # minutes (per-process program preparation through the tunnel) even with
-    # a hot persistent compile cache, hence the generous alarm.
+    # between ~2 minutes and multiple hours); a wedged device HANGS rather
+    # than raising, and a process that touched a wedged device can stay
+    # poisoned after the tunnel recovers. Insurance, in order:
+    #   1. subprocess probes (cheap, parent never touches the device) until
+    #      the tunnel answers, before committing to the expensive attempt;
+    #   2. the attempt itself under a SIGALRM watchdog — the first
+    #      in-process warm-up of the 1.34e8-particle pipeline costs minutes
+    #      (per-process program preparation) even with a hot compile cache,
+    #      hence the generous alarm;
+    #   3. on failure, RE-EXEC this script (fresh process, fresh runtime)
+    #      rather than retrying in the poisoned one.
     import signal
+
+    attempt = int(os.environ.get("AST_BENCH_ATTEMPT", "1"))
+
+    for i in range(_PROBE_TRIES):
+        if _device_probe_ok():
+            break
+        sys.stderr.write(f"bench: device probe {i + 1} wedged; waiting\n")
+        time.sleep(_PROBE_SLEEP)
+    # fall through even if every probe failed: the CPU smoke path (or a
+    # late tunnel recovery) may still produce a result under the watchdog
 
     def _alarm(signum, frame):  # pragma: no cover - hardware-path insurance
         raise _BenchTimeout("bench attempt exceeded watchdog")
@@ -48,24 +89,27 @@ def main() -> None:
     has_alarm = hasattr(signal, "SIGALRM")
     if has_alarm:
         signal.signal(signal.SIGALRM, _alarm)
-    for attempt, cooldown in ((1, 180), (2, 300), (3, 0)):
-        try:
-            if has_alarm:
-                signal.alarm(2400)
-            _run()
-            if has_alarm:
-                signal.alarm(0)
-            return
-        except Exception as err:  # pragma: no cover - hardware-path insurance
-            if has_alarm:
-                signal.alarm(0)
-            if cooldown == 0:
-                raise
-            sys.stderr.write(
-                f"bench attempt {attempt} failed ({type(err).__name__}); "
-                f"retrying in {cooldown}s\n"
-            )
-            time.sleep(cooldown)
+    try:
+        if has_alarm:
+            signal.alarm(2400)
+        _run()
+        if has_alarm:
+            signal.alarm(0)
+        return
+    except Exception as err:  # pragma: no cover - hardware-path insurance
+        if has_alarm:
+            signal.alarm(0)
+        if attempt >= _MAX_ATTEMPTS:
+            raise
+        sys.stderr.write(
+            f"bench attempt {attempt} failed ({type(err).__name__}); "
+            f"re-execing fresh process\n"
+        )
+        time.sleep(120)
+        os.environ["AST_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(
+            sys.executable, [sys.executable, os.path.abspath(__file__)]
+        )
 
 
 def _run() -> None:
