@@ -11,8 +11,11 @@ from .deposit_pallas import (
     tile_particles,
 )
 from .deposit_coherent import (
+    CoherentCaps,
     CoherentLayout,
+    caps_from_layout,
     deposit_2d_coherent,
+    deposit_2d_coherent_fused,
     deposit_coherent,
     tile_particles_coherent,
 )
@@ -71,7 +74,10 @@ __all__ = [
     "cubic_spline_1d",
     "deposit_2d",
     "deposit_2d_auto",
+    "CoherentCaps",
+    "caps_from_layout",
     "deposit_2d_coherent",
+    "deposit_2d_coherent_fused",
     "deposit_coherent",
     "tile_particles_coherent",
     "CoherentLayout",

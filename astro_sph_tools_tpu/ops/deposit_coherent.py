@@ -498,6 +498,9 @@ def tile_particles_coherent(
             "tail_particles": n_tail,
             "routed_particles": n_tail_sorted,
             "tail_bucket_rows": dict(zip(_TAIL_BUCKETS, nbs)),
+            # per-level routed-tail particle counts (+ oversize last) — the
+            # fused engine's caps_from_layout reads these
+            "level_tail_counts": [int(v) for v in lc],
         },
     )
 
@@ -743,6 +746,282 @@ def deposit_coherent(
             img if img.ndim == 3 else img[..., None], -1, 0
         )
     return total
+
+
+@dataclass(frozen=True)
+class CoherentCaps:
+    """Static capacities for the zero-sync fused coherent render.
+
+    The host-orchestrated engine (:func:`tile_particles_coherent` +
+    :func:`deposit_coherent`) pays ONE host round-trip per render to read
+    the data-dependent counts that size its Pallas schedules — ~0.1 s
+    through the axon tunnel at north-star scale, plus one extra program
+    dispatch group. With capacities pinned ahead of time the whole
+    pipeline (stage A -> tail gather -> tail sort -> render) traces into a
+    SINGLE jitted program with zero host syncs: counts flow as dynamic
+    operands exactly like the multi-chip engine
+    (:func:`..parallel.coherent.deposit_2d_coherent_sharded`), which
+    already maxes static sizes over shards for the same reason.
+
+    Capacities are stable across the macro-chunks of a snapshot: derive
+    them from a first (synced) render via :func:`caps_from_layout` and
+    reuse. The fused render reports truth-vs-capacity as an on-device
+    ``ok`` flag — check it lazily (with the map fetch), and re-render
+    through the synced engine on overflow (exact, just slower).
+    """
+
+    b0: int  # candidate schedule capacity (steps incl. 4096 granularity)
+    bucket_caps: tuple[int, ...]  # rows per tail bucket _TAIL_BUCKETS[1:]
+    level_caps: tuple[int, ...]  # routed-tail particles per footprint level
+
+
+def caps_from_layout(layout: CoherentLayout, *, slack: float = 1.3,
+                     levels=PALLAS_LEVELS) -> CoherentCaps:
+    """Derive fused-render capacities from a synced first render, with
+    headroom for chunk-to-chunk drift: multiplicative ``slack`` plus small
+    floors — a populated bucket (or one adjacent to a populated bucket:
+    rows drift across half-octave boundaries) never caps below 8 rows, and
+    every level up to the deepest populated one gets at least one chunk of
+    tail capacity. The floors cost ~100 KB of extra tail-sort volume —
+    noise at production chunk sizes — and make capacities derived from a
+    small first chunk safe to reuse."""
+    grow = lambda v: int(np.ceil(v * slack)) if v else 0
+    stats = layout.stats
+    b0 = max(4096, -(-grow(stats["n_candidates"]) // 4096) * 4096)
+    raw = [stats["tail_bucket_rows"][t] for t in _TAIL_BUCKETS[1:]]
+    nb = len(raw)
+    active = [
+        any(raw[j] for j in range(max(0, i - 1), min(nb, i + 2)))
+        for i in range(nb)
+    ]
+    bucket_caps = tuple(
+        max(grow(v), 8) if act else 0 for v, act in zip(raw, active)
+    )
+    lc = stats["level_tail_counts"][: len(levels)]
+    lmax = max((li for li, v in enumerate(lc) if v), default=-1)
+    level_caps = tuple(
+        max(grow(v), _CHUNK) if li <= lmax else 0 for li, v in enumerate(lc)
+    )
+    return CoherentCaps(b0=b0, bucket_caps=bucket_caps, level_caps=level_caps)
+
+
+def _fused_coherent_body(
+    x, y, h, values,
+    *,
+    shape, extent, periodic, offset, bounds, geom_tuples, geoms_sel, bases,
+    support_factor, n_fields, n_levels, d_max, n_rows, C,
+    b0, gather_caps, metas_static, level_sel, any_tail,
+    kernel, precision, interpret, projection, n_tiles0,
+):
+    """The whole coherent render as ONE traced function (zero host syncs).
+
+    ``metas_static``: ((geom, bucket), ...) for levels with nonzero static
+    capacity; ``level_sel``: their level indices (for the dynamic lo/count
+    operands). Returns (map stack, ok flag)."""
+    packed, sk, sr, tail_eff, rows_by_bucket, counts = _assign_and_rowsort(
+        x, y, h, values,
+        shape=shape, extent=extent, periodic=periodic, bounds=bounds,
+        geom_tuples=geom_tuples, support_factor=support_factor,
+        n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
+        n_rows=n_rows, C=C,
+    )
+    n_buckets = len(_TAIL_BUCKETS)
+    n_cand = counts[0]
+    nbs = counts[3 : 3 + n_buckets]
+    lc = counts[3 + n_buckets :]  # per-level routed tail + oversize
+
+    ok = n_cand <= b0
+    cap_rows = jnp.asarray(
+        [_next_size_class(c) if c else 0 for c in gather_caps], jnp.int32
+    )
+    ok &= jnp.all(nbs[1:] <= cap_rows)
+    if metas_static:
+        sel = jnp.asarray(level_sel, jnp.int32)
+        lev_caps_arr = jnp.asarray([m[1] for m in metas_static], jnp.int32)
+        ok &= jnp.all(lc[sel] <= lev_caps_arr)
+    # levels outside the static selection (cap 0) and oversize must be empty
+    unsel = np.ones(n_levels + 1, bool)
+    unsel[list(level_sel)] = False
+    ok &= jnp.all(jnp.where(jnp.asarray(unsel), lc == 0, True))
+
+    if b0:
+        live = jnp.arange(b0, dtype=jnp.int32) < n_cand
+        cand_tile = jnp.where(
+            live, jax.lax.dynamic_slice(sk, (0,), (b0,)), n_tiles0
+        ).astype(jnp.int32)
+        cand_row = jnp.where(
+            live, jax.lax.dynamic_slice(sr, (0,), (b0,)), 0
+        ).astype(jnp.int32)
+    else:
+        cand_tile = cand_row = None
+
+    tail = None
+    tail_los = tail_cnts = jnp.zeros((1,), jnp.int32)
+    if any_tail:
+        nbv = nbs[1:]
+        los = jnp.concatenate(
+            [nbs[:1], nbs[0] + jnp.cumsum(nbv)[:-1]]
+        ).astype(jnp.int32)
+        classed = tuple(
+            _next_size_class(c) if c else 0 for c in gather_caps
+        )
+        chans = _tail_gather(
+            packed, rows_by_bucket, tail_eff, los, nbv,
+            caps=classed, n_fields=n_fields, bases=bases,
+            n_levels=n_levels, C=C,
+        )
+        t_tile, tu, tv, th, t_values, _ = _tail_sort_dense(
+            chans[0], chans[1], chans[2], chans[3], tuple(chans[4:]),
+            bases=bases, n_levels=n_levels, C=C,
+        )
+        # extra slack (cf. parallel.coherent._run_b_local): level buckets
+        # are sized from static caps, not this render's truth, so
+        # lo + bucket can pass the single-render slack bound; dynamic_slice
+        # would clamp the start and misalign the live mask
+        v = int(chans[0].shape[0])
+        extra = v + 2 * C
+        pad1 = lambda a: jnp.pad(a, (0, extra))
+        tail = (
+            pad1(tu), pad1(tv), pad1(th),
+            jnp.pad(t_values, ((0, 0), (0, extra))), pad1(t_tile),
+        )
+        if metas_static:
+            lev_lo = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(lc[:-1])]
+            ).astype(jnp.int32)
+            sel = jnp.asarray(level_sel, jnp.int32)
+            tail_los = lev_lo[sel]
+            tail_cnts = lc[sel].astype(jnp.int32)
+    else:
+        ok &= counts[2] == 0  # n_tail must be zero without tail capacity
+
+    total = _coherent_body(
+        packed, cand_tile, cand_row, tail if metas_static else None,
+        tail_los, tail_cnts,
+        geom0=geoms_sel[0], shape=shape, extent=extent, periodic=periodic,
+        offset=offset, n_fields=n_fields, kernel=kernel,
+        support_factor=support_factor, precision=precision,
+        interpret=interpret, projection=projection, b0=b0, n_rows=n_rows,
+        tail_metas_static=metas_static,
+    )
+    return total, ok
+
+
+@lru_cache(maxsize=128)
+def _cached_fused_render(statics, donate=False):
+    kw = dict(statics)
+    fn = partial(_fused_coherent_body, **kw)
+    return jax.jit(
+        lambda x, y, h, values: fn(x, y, h, values),
+        donate_argnums=(0, 1, 2, 3) if donate else (),
+    )
+
+
+def deposit_2d_coherent_fused(
+    x, y, h, values, spec: MapSpec, caps: CoherentCaps,
+    *,
+    kernel: str = "cubic_spline",
+    levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
+    projection: str = "kernel3d",
+    d_max: int = _D_MAX,
+    donate: bool = False,
+):
+    """Zero-host-sync coherent render with pinned capacities.
+
+    Returns ``(maps, ok)`` where ``ok`` is an on-device bool: True iff
+    every data-dependent count fit ``caps`` (and no oversize smoothing
+    lengths appeared), i.e. the map is exact. On ``ok == False`` re-render
+    through :func:`deposit_2d_coherent` (synced, always exact) and derive
+    fresh capacities via :func:`caps_from_layout`.
+
+    The per-render host cost is dispatch-only — counts never come back to
+    the host — so a streaming loop over macro-chunks runs the layout AND
+    render of chunk k+1 while the host is still free to prefetch chunk
+    k+2 (cf. ROADMAP seam: sync1 measured ~0.1 s/render through the axon
+    tunnel at 2^26).
+    """
+    _check_precision(precision)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kspec = get_kernel(kernel)
+    values, single = _as_field_matrix(values)
+    if values.shape[0] > 4:
+        raise ValueError(
+            "coherent deposit carries at most 4 fields (the key channel "
+            "uses the 8th slot); use the sorted engine for more"
+        )
+    pad_h = 0.1 * min(spec.pixel_size)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
+    n = int(h.shape[0])
+    C = _CHUNK
+    n_rows = n // C
+    n_fields = int(values.shape[0])
+
+    geoms: list[Optional[_LevelGeometry]] = []
+    for cfg in levels:
+        try:
+            geoms.append(_level_geometry(cfg, spec))
+        except ValueError:
+            geoms.append(None)
+    if geoms[0] is None:
+        raise ValueError(
+            "coherent deposit requires the smallest footprint level to tile "
+            "the map"
+        )
+    bases = _ckey_bases(geoms)
+    bounds = tuple(
+        (g.cfg.max_s_pix if g is not None else -1.0) for g in geoms
+    )
+    geom_tuples = (
+        tuple(g.n_tiles_x if g else 1 for g in geoms),
+        tuple(g.cfg.TY if g else 1 for g in geoms),
+        tuple(g.tx if g else 1 for g in geoms),
+        tuple(g.n_tiles_y if g else 1 for g in geoms),
+        tuple(g.cfg.M if g else 0 for g in geoms),
+    )
+
+    b0 = min(caps.b0, n_rows * d_max)
+    metas, level_sel = [], []
+    for li, g in enumerate(geoms):
+        cap = caps.level_caps[li] if li < len(caps.level_caps) else 0
+        if g is not None and cap > 0:
+            metas.append((g, C * _next_size_class(-(-cap // C))))
+            level_sel.append(li)
+    any_tail = bool(metas) or any(caps.bucket_caps)
+
+    statics = (
+        ("shape", spec.shape),
+        ("extent", tuple(float(e) for e in spec.extent)),
+        ("periodic", spec.periodic_wrap),
+        ("offset", spec.sample_offset),
+        ("bounds", bounds),
+        ("geom_tuples", geom_tuples),
+        ("geoms_sel", tuple(geoms[li] for li in ([0] + level_sel))),
+        ("bases", bases),
+        ("support_factor", kspec.support_factor),
+        ("n_fields", n_fields),
+        ("n_levels", len(levels)),
+        ("d_max", d_max),
+        ("n_rows", n_rows),
+        ("C", C),
+        ("b0", b0),
+        ("gather_caps", tuple(caps.bucket_caps)),
+        ("metas_static", tuple(metas)),
+        ("level_sel", tuple(level_sel)),
+        ("any_tail", any_tail),
+        ("kernel", kernel),
+        ("precision", precision),
+        ("interpret", interpret),
+        ("projection", projection),
+        ("n_tiles0", geoms[0].n_tiles),
+    )
+    total, ok = _cached_fused_render(statics, donate)(x, y, h, values)
+    return (total[0] if single else total), ok
 
 
 def deposit_2d_coherent(

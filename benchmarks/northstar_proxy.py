@@ -151,6 +151,62 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
     x, y, h, fields = gen()
     gen_s = time.perf_counter() - t0
 
+    if engine == "coherent-fused":
+        # zero-sync single-program render: capacities calibrated from ONE
+        # synced layout (not timed), then every render is a single dispatch
+        # whose counts never return to the host
+        from astro_sph_tools_tpu.ops.deposit_coherent import (
+            caps_from_layout,
+            deposit_2d_coherent_fused,
+        )
+
+        lay = tile_particles_coherent(x, y, h, fields, spec, donate=True, prep=prep)
+        caps = caps_from_layout(lay)
+        level_counts = dict(lay.stats)
+        n_oversize = int(lay.n_tail_oversize)
+        del lay
+
+        def fused():
+            return deposit_2d_coherent_fused(
+                x, y, h, fields, spec, caps, precision="bf16x2", donate=True
+            )
+
+        x, y, h, fields = gen()
+        t0 = time.perf_counter()
+        out, okf = fused()
+        _ = float(out[0].sum())
+        warm_s = time.perf_counter() - t0
+        assert bool(okf), "calibrated capacities overflowed on warm render"
+
+        wall = 1e30
+        for _ in range(repeats):
+            del out
+            x, y, h, fields = gen()
+            t0 = time.perf_counter()
+            out, okf = fused()
+            _ = float(out[0].sum())
+            wall = min(wall, time.perf_counter() - t0)
+            assert bool(okf)
+
+        return {
+            "metric": "north-star per-chip proxy: adaptive 1024^2 2-field render wall",
+            "n_particles": n,
+            "order": order,
+            "engine": engine,
+            "prep": prep,
+            "wall_s": round(wall, 4),
+            "budget_s": BUDGET_S,
+            "pass": bool(wall < BUDGET_S and n >= 1.25e8),
+            "deposits_per_sec": round(n / wall, 1),
+            "phase_layout_s": None,  # single fused program: no phase split
+            "phase_deposit_s": None,
+            "level_counts": level_counts,
+            "n_oversize": n_oversize,
+            "warm_first_s": round(warm_s, 2),
+            "gen_s": round(gen_s, 2),
+            "backend": backend,
+        }
+
     # the layout build DONATES the input buffers (the sort double-buffers +
     # layout arrays brush 16 GB HBM at 2^27 otherwise), so inputs are
     # regenerated before every timed iteration — generation is excluded
@@ -235,7 +291,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 27)
     ap.add_argument("--order", choices=("morton", "random", "both"), default="morton")
-    ap.add_argument("--engine", choices=("sorted", "coherent"), default="sorted")
+    ap.add_argument(
+        "--engine", choices=("sorted", "coherent", "coherent-fused"),
+        default="sorted",
+    )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--prep", choices=("pallas", "xla"), default="xla")
     ap.add_argument("--out", default=None)

@@ -29,6 +29,11 @@ say "=== 3/5 north-star proxy (2^27, coherent) ==="
 timeout 3600 python benchmarks/northstar_proxy.py --engine coherent >> "$LOG" 2>&1 \
   && say "northstar done" || say "northstar FAILED"
 
+say "=== 3b/5 north-star proxy (2^27, coherent-fused zero-sync) ==="
+timeout 3600 python benchmarks/northstar_proxy.py --engine coherent-fused \
+  --out /tmp/NORTHSTAR_fused.json >> "$LOG" 2>&1 \
+  && say "northstar fused done" || say "northstar fused FAILED"
+
 say "=== 4/5 bench.py ==="
 timeout 3600 python bench.py >> "$LOG" 2>&1 \
   && say "bench done" || say "bench FAILED"
