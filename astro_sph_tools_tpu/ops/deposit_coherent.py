@@ -795,12 +795,13 @@ def caps_from_layout(layout: CoherentLayout, *, slack: float = 1.3,
         for i in range(nb)
     ]
     bucket_caps = tuple(
-        max(grow(v), 8) if act else 0 for v, act in zip(raw, active)
+        (grow(v) + 8 + int(2.0 * np.sqrt(v))) if act else 0
+        for v, act in zip(raw, active)
     )
     lc = stats["level_tail_counts"][: len(levels)]
     lmax = max((li for li, v in enumerate(lc) if v), default=-1)
     level_caps = tuple(
-        max(grow(v), _CHUNK) if li <= lmax else 0 for li, v in enumerate(lc)
+        (grow(v) + _CHUNK) if li <= lmax else 0 for li, v in enumerate(lc)
     )
     return CoherentCaps(b0=b0, bucket_caps=bucket_caps, level_caps=level_caps)
 
