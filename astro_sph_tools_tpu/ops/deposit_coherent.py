@@ -806,6 +806,22 @@ def caps_from_layout(layout: CoherentLayout, *, slack: float = 1.3,
     return CoherentCaps(b0=b0, bucket_caps=bucket_caps, level_caps=level_caps)
 
 
+def caps_union(*all_caps: CoherentCaps) -> CoherentCaps:
+    """Elementwise max of capacities — merge per-shard (or per-chunk)
+    calibrations into one set every program can share."""
+    if not all_caps:
+        raise ValueError("caps_union needs at least one CoherentCaps")
+    return CoherentCaps(
+        b0=max(c.b0 for c in all_caps),
+        bucket_caps=tuple(
+            max(vs) for vs in zip(*(c.bucket_caps for c in all_caps))
+        ),
+        level_caps=tuple(
+            max(vs) for vs in zip(*(c.level_caps for c in all_caps))
+        ),
+    )
+
+
 def _fused_coherent_body(
     x, y, h, values,
     *,
@@ -946,7 +962,6 @@ def deposit_2d_coherent_fused(
     _check_precision(precision)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    kspec = get_kernel(kernel)
     values, single = _as_field_matrix(values)
     if values.shape[0] > 4:
         raise ValueError(
@@ -959,10 +974,24 @@ def deposit_2d_coherent_fused(
     h = jnp.asarray(h, jnp.float32)
     x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
     n = int(h.shape[0])
-    C = _CHUNK
-    n_rows = n // C
-    n_fields = int(values.shape[0])
+    n_rows = n // _CHUNK
+    statics = _build_fused_statics(
+        spec, caps, kernel=kernel, levels=levels, d_max=d_max,
+        n_rows=n_rows, n_fields=int(values.shape[0]), precision=precision,
+        interpret=interpret, projection=projection,
+    )
+    total, ok = _cached_fused_render(statics, donate)(x, y, h, values)
+    return (total[0] if single else total), ok
 
+
+def _build_fused_statics(
+    spec: MapSpec, caps: CoherentCaps, *, kernel, levels, d_max, n_rows,
+    n_fields, precision, interpret, projection,
+):
+    """Static keyword tuple for :func:`_fused_coherent_body` (hashable —
+    keys the jit caches of both the single-chip and sharded fused paths)."""
+    kspec = get_kernel(kernel)
+    C = _CHUNK
     geoms: list[Optional[_LevelGeometry]] = []
     for cfg in levels:
         try:
@@ -995,7 +1024,7 @@ def deposit_2d_coherent_fused(
             level_sel.append(li)
     any_tail = bool(metas) or any(caps.bucket_caps)
 
-    statics = (
+    return (
         ("shape", spec.shape),
         ("extent", tuple(float(e) for e in spec.extent)),
         ("periodic", spec.periodic_wrap),
@@ -1021,8 +1050,6 @@ def deposit_2d_coherent_fused(
         ("projection", projection),
         ("n_tiles0", geoms[0].n_tiles),
     )
-    total, ok = _cached_fused_render(statics, donate)(x, y, h, values)
-    return (total[0] if single else total), ok
 
 
 def deposit_2d_coherent(

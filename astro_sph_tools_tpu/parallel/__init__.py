@@ -1,6 +1,10 @@
 """Mesh-parallel execution: sharded deposits and distributed reorder."""
 
-from .coherent import deposit_2d_coherent_sharded, pad_particles_mesh
+from .coherent import (
+    deposit_2d_coherent_sharded,
+    deposit_2d_coherent_sharded_fused,
+    pad_particles_mesh,
+)
 from .reorder import distributed_reorder
 from .sharded_io import (
     load_particle_fields_sharded,
@@ -19,6 +23,7 @@ from .sightlines import absorption_spectra_sharded, column_integrate_sharded
 __all__ = [
     "absorption_spectra_sharded",
     "deposit_2d_coherent_sharded",
+    "deposit_2d_coherent_sharded_fused",
     "pad_particles_mesh",
     "column_integrate_sharded",
     "deposit_2d_sharded",

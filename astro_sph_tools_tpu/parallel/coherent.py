@@ -52,9 +52,12 @@ from ..ops.deposit_pallas import (
 from ..ops.deposit_coherent import (
     _D_MAX,
     _TAIL_BUCKETS,
+    CoherentCaps,
     _assign_and_rowsort,
+    _build_fused_statics,
     _ckey_bases,
     _coherent_body,
+    _fused_coherent_body,
     _tail_gather,
     _tail_sort_dense,
 )
@@ -82,6 +85,78 @@ def pad_particles_mesh(x, y, h, values, spec: MapSpec, n_dev: int):
             axis=1,
         )
     return x, y, h, values
+
+
+def deposit_2d_coherent_sharded_fused(
+    x: Array,
+    y: Array,
+    h: Array,
+    values: Array,  # (N,) or (F, N)
+    spec: MapSpec,
+    mesh: Mesh,
+    caps: CoherentCaps,
+    *,
+    kernel: str = "cubic_spline",
+    levels=PALLAS_LEVELS,
+    d_max: int = _D_MAX,
+    axis_name: str = "data",
+    precision: str = "bf16x2",
+    interpret: Optional[bool] = None,
+    projection: str = "kernel3d",
+) -> tuple[Array, Array]:
+    """Zero-host-sync multi-chip coherent render with pinned capacities.
+
+    With capacities known ahead of time (``caps`` — derive per shard via
+    :func:`..ops.deposit_coherent.caps_from_layout` on a synced first
+    chunk and merge with :func:`..ops.deposit_coherent.caps_union`), the
+    three SPMD stages of :func:`deposit_2d_coherent_sharded` collapse into
+    ONE ``shard_map`` program: stage A, tail gather, tail sort, and render
+    run back-to-back per shard and the map stack ``psum``s over ICI — no
+    count ever returns to the host, so a streaming loop dispatches chunk
+    after chunk with zero round-trips.
+
+    Returns ``(maps, ok)``: ``ok`` (device bool) is True iff every shard's
+    counts fit ``caps`` AND no oversize smoothing lengths appeared. On
+    False, re-render the chunk through the synced sharded engine.
+    """
+    _check_precision(precision)
+    values, single = _as_field_matrix(values)
+    if values.shape[0] > 4:
+        raise ValueError("coherent deposit carries at most 4 fields")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = int(x.shape[0])
+    n_dev = mesh.shape[axis_name]
+    if n % (n_dev * _CHUNK):
+        raise ValueError(
+            f"N={n} must be a multiple of mesh.size*{_CHUNK}; "
+            "use pad_particles_mesh"
+        )
+    statics = _build_fused_statics(
+        spec, caps, kernel=kernel, levels=levels, d_max=d_max,
+        n_rows=n // (n_dev * _CHUNK), n_fields=int(values.shape[0]),
+        precision=precision, interpret=interpret, projection=projection,
+    )
+    body = partial(_fused_coherent_body, **dict(statics))
+
+    def _local(xs, ys, hs, vs):
+        total, ok = body(xs, ys, hs, vs)
+        return (
+            jax.lax.psum(total, axis_name),
+            jax.lax.psum(ok.astype(jnp.int32), axis_name),
+        )
+
+    run = partial(jax.shard_map, mesh=mesh, check_vma=False)(
+        in_specs=(
+            P(axis_name), P(axis_name), P(axis_name), P(None, axis_name)
+        ),
+        out_specs=(P(), P()),
+    )(_local)
+    total, n_ok = run(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(h, jnp.float32), jnp.asarray(values, jnp.float32),
+    )
+    return (total[0] if single else total), n_ok == n_dev
 
 
 def deposit_2d_coherent_sharded(

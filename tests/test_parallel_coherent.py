@@ -136,3 +136,65 @@ class TestShardedCoherent:
         xp, yp, hp, vp = pad_particles_mesh(x, y, h, m, spec, 8)
         with pytest.raises(ValueError, match="oversize"):
             deposit_2d_coherent_sharded(xp, yp, hp, vp, spec, mesh, precision="f32")
+
+
+class TestShardedCoherentFused:
+    def _caps_for_shards(self, x, y, h, fields, spec, n_dev):
+        """Per-shard synced calibration merged with caps_union — the
+        documented streaming pattern for the fused sharded engine."""
+        from astro_sph_tools_tpu.ops.deposit_coherent import (
+            caps_from_layout,
+            caps_union,
+            tile_particles_coherent,
+        )
+
+        fields2 = fields if fields.ndim == 2 else fields[None]
+        per = x.size // n_dev
+        caps = []
+        for d in range(n_dev):
+            sl = slice(d * per, (d + 1) * per)
+            lay = tile_particles_coherent(
+                x[sl], y[sl], h[sl], fields2[:, sl], spec
+            )
+            caps.append(caps_from_layout(lay))
+        return caps_union(*caps)
+
+    def test_matches_synced_sharded(self, mesh, rng):
+        from astro_sph_tools_tpu.parallel.coherent import (
+            deposit_2d_coherent_sharded_fused,
+        )
+
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        x, y, h, m = _coherent_set(rng, 50000, box, box / 128)
+        fields = np.stack([m, (m * rng.uniform(1, 2, x.size)).astype(np.float32)])
+        xp, yp, hp, vp = pad_particles_mesh(x, y, h, fields, spec, 8)
+        ref = np.asarray(
+            deposit_2d_coherent_sharded(xp, yp, hp, vp, spec, mesh, precision="f32")
+        )
+        caps = self._caps_for_shards(xp, yp, hp, vp, spec, 8)
+        img, ok = deposit_2d_coherent_sharded_fused(
+            xp, yp, hp, vp, spec, mesh, caps, precision="f32"
+        )
+        assert bool(ok)
+        # same per-shard partition and math: tight agreement
+        assert rel_err(np.asarray(img), ref) < 1e-6
+
+    def test_overflow_flag_sharded(self, mesh, rng):
+        from astro_sph_tools_tpu.ops.deposit_coherent import CoherentCaps
+        from astro_sph_tools_tpu.parallel.coherent import (
+            deposit_2d_coherent_sharded_fused,
+        )
+
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
+        x, y, h, m = _coherent_set(rng, 20000, box, box / 64)
+        xp, yp, hp, vp = pad_particles_mesh(x, y, h, m, spec, 8)
+        tiny = CoherentCaps(
+            b0=4096, bucket_caps=tuple(0 for _ in range(12)),
+            level_caps=(0, 0, 0, 0),
+        )
+        _, ok = deposit_2d_coherent_sharded_fused(
+            xp, yp, hp, vp, spec, mesh, tiny, precision="f32"
+        )
+        assert not bool(ok)
