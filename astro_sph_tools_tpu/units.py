@@ -209,6 +209,10 @@ class UnitArray:
             self.value = value
             self.units = units_parsed
             return
+        if isinstance(value, (list, tuple)):
+            # unyt_array accepts plain sequences; conversion is a scalar
+            # multiply, so coerce once here
+            value = np.asarray(value)
         self.value = value
         self.units = parse_unit(units)
 
