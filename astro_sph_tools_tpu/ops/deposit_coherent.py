@@ -81,6 +81,13 @@ _D_MAX = 8  # distinct coherent-level tiles a row may touch before routing
 _TAIL_BUCKETS = (
     32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048
 )
+# largest support radius (pixels) the K4 column window serves: 2s + 2 <= 4,
+# and the rounded anchor (col0 = round(u) - 2) covers u +- 1.5 px. Windows
+# whose lanes are all below this bound run a 4-iteration column loop in the
+# deposit kernel instead of the full K=8 (61% of particles in the
+# north-star h distribution are sub-pixel).
+_K4_MAX_S = 1.0
+_K4 = 4
 
 
 def _ckey_bases(geoms) -> tuple[int, ...]:
@@ -114,14 +121,27 @@ class CoherentLayout:
     n_fields: int
     n_valid: int
     stats: dict  # row/candidate diagnostics (coherent_fraction etc.)
+    window: int = 0  # W-lane window steps (0 = whole-row steps)
+    cand_win: tuple = ()  # (wb0, nw, k4n) per candidate, window mode only
+    b0w: int = 0  # window-step schedule capacity (size-classed)
 
 
 def _assign_and_rowsort(
     x, y, h, values, *, shape, extent, periodic, bounds, geom_tuples,
     support_factor, n_fields, n_levels, bases, d_max, n_rows, C,
+    window: int = 0,
 ):
     """Stage A (traced): key assignment, per-row sort, row classification,
-    candidate extraction, candidate sort, mixed-row index list."""
+    candidate extraction, candidate sort, mixed-row index list.
+
+    With ``window`` = W (a power of two dividing C, 0 = whole-row mode) the
+    candidate list additionally carries per-candidate W-lane *window step*
+    geometry — (first window, window count, count of leading sub-pixel-only
+    windows) — and the row sort refines the composite key with a sub-level
+    bit (s_pix > K4 bound) so each candidate segment is [small | big]. The
+    stored key channel stays ``ckey`` (the refinement bit is shifted out),
+    so tail extraction, the kernel's key mask, and every other consumer are
+    unchanged."""
     ny, nx = shape
     x0, x1, y0, y1 = extent
     psx = (x1 - x0) / nx
@@ -141,10 +161,22 @@ def _assign_and_rowsort(
     )
 
     to2 = lambda a: a.reshape(n_rows, C)
-    ops2 = [to2(ckey), to2(u_loc), to2(v_loc), to2(h)] + [
-        to2(values[f]) for f in range(n_fields)
-    ]
-    sorted2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
+    if window:
+        # sub-level refinement bit: level-0 lanes with footprint too wide
+        # for the K4 column window sort after their sub-pixel peers
+        big = (level == 0) & (s_pix > _K4_MAX_S)
+        rkey = ckey * 2 + big.astype(jnp.int32)
+        ops2 = [to2(rkey), to2(u_loc), to2(v_loc), to2(h)] + [
+            to2(values[f]) for f in range(n_fields)
+        ]
+        sorted2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
+        cls2 = sorted2[0] & 1
+        sorted2 = [sorted2[0] >> 1, *sorted2[1:]]
+    else:
+        ops2 = [to2(ckey), to2(u_loc), to2(v_loc), to2(h)] + [
+            to2(values[f]) for f in range(n_fields)
+        ]
+        sorted2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
     k2 = sorted2[0]
 
     is_first = jnp.concatenate(
@@ -161,17 +193,63 @@ def _assign_and_rowsort(
     tail_eff = jnp.where(coherent, C - is_l0.sum(axis=1), C).astype(jnp.int32)
 
     pad_key = jnp.int32(bases[n_levels] + 1)
-    masked = jnp.where(is_first & is_l0 & coherent[:, None], k2, pad_key)
+    live_first = is_first & is_l0 & coherent[:, None]
+    masked = jnp.where(live_first, k2, pad_key)
     # first d_max distinct head keys per row: each appears once in `masked`
     # (at its first lane), the rest are the pad sentinel
     cand_keys = -jax.lax.top_k(-masked, d_max)[0]  # (n_rows, D) ascending
     cand_rows = jnp.broadcast_to(
         jnp.arange(n_rows, dtype=jnp.int32)[:, None], (n_rows, d_max)
     )
-    sk, sr = jax.lax.sort(
-        [cand_keys.reshape(-1), cand_rows.reshape(-1)], num_keys=1,
-        is_stable=False,
-    )
+    cand_win: tuple = ()
+    n_wsteps = jnp.int32(0)
+    if window:
+        # per-candidate lane geometry. The row is key-sorted, so ascending
+        # candidate keys == ascending first lanes: the top_k of masked first
+        # lanes aligns 1:1 with cand_keys.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, C), 1)
+        masked_lane = jnp.where(live_first, lane, jnp.int32(C))
+        starts = -jax.lax.top_k(-masked_lane, d_max)[0]  # (n_rows, D) asc
+        head_len = (C - tail_eff)[:, None]  # l0 lane count (coherent rows)
+        ends = jnp.minimum(
+            jnp.concatenate(
+                [starts[:, 1:], jnp.full((n_rows, 1), C, jnp.int32)], axis=1
+            ),
+            head_len,
+        )
+        real = starts < head_len
+        # class boundary: lanes below `mid` are sub-pixel (the refined sort
+        # key parks them first within the candidate's segment)
+        cand_id = jnp.cumsum(live_first.astype(jnp.int32), axis=1) - 1
+        small_l0 = is_l0 & (cls2 == 0) & coherent[:, None]
+        mids = starts + jnp.stack(
+            [
+                ((cand_id == i) & small_l0).sum(axis=1, dtype=jnp.int32)
+                for i in range(d_max)
+            ],
+            axis=1,
+        )
+        wb0 = jnp.where(real, starts, 0) // window
+        nw = jnp.where(real, (ends - 1) // window - wb0 + 1, 0)
+        # leading windows whose lane span is entirely sub-pixel take the K4
+        # column loop; a candidate that is all-small K4s every window
+        k4n = jnp.where(
+            ends <= mids, nw, jnp.clip(mids // window - wb0, 0, nw)
+        )
+        sk, sr, swb0, snw, sk4 = jax.lax.sort(
+            [
+                cand_keys.reshape(-1), cand_rows.reshape(-1),
+                wb0.reshape(-1), nw.reshape(-1), k4n.reshape(-1),
+            ],
+            num_keys=1, is_stable=False,
+        )
+        cand_win = (swb0, snw, sk4)
+        n_wsteps = nw.sum(dtype=jnp.int32)
+    else:
+        sk, sr = jax.lax.sort(
+            [cand_keys.reshape(-1), cand_rows.reshape(-1)], num_keys=1,
+            is_stable=False,
+        )
     n_cand = jnp.searchsorted(sk, jnp.int32(bases[1])).astype(jnp.int32)
 
     n_heavy = (~coherent).sum().astype(jnp.int32)
@@ -215,22 +293,23 @@ def _assign_and_rowsort(
             jnp.stack([n_cand, n_heavy, n_tail]),
             nb,
             jnp.stack([lc0, *lev_counts]),
+            jnp.stack([n_wsteps]),
         ]
     )
-    return packed, sk, sr, tail_eff, rows_by_bucket, counts
+    return packed, sk, sr, tail_eff, rows_by_bucket, counts, cand_win
 
 
 @lru_cache(maxsize=256)
 def _cached_stage_a(
     shape, extent, periodic, bounds, geom_tuples, support_factor, n_fields,
-    n_levels, bases, d_max, n_rows, C, donate=False,
+    n_levels, bases, d_max, n_rows, C, donate=False, window=0,
 ):
     fn = partial(
         _assign_and_rowsort,
         shape=shape, extent=extent, periodic=periodic, bounds=bounds,
         geom_tuples=geom_tuples, support_factor=support_factor,
         n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
-        n_rows=n_rows, C=C,
+        n_rows=n_rows, C=C, window=window,
     )
     return jax.jit(fn, donate_argnums=(0, 1, 2, 3) if donate else ())
 
@@ -360,11 +439,18 @@ def tile_particles_coherent(
     d_max: int = _D_MAX,
     donate: bool = False,
     prep: str = "xla",
+    window: int = 0,
 ) -> CoherentLayout:
     """Build the coherent-order layout. ONE small host sync: the stage-A
     counts vector carries candidate/heavy/bucket counts AND the per-level
     routed-tail counts, so the tail gather, tail sort, and render programs
-    all dispatch without another round-trip."""
+    all dispatch without another round-trip.
+
+    ``window``: 0 renders each candidate as one whole-row (C-lane) Pallas
+    step; a power of two < C schedules W-lane window steps over the
+    candidate's lane segment instead — dead lanes outside the segment are
+    never touched, and windows whose lanes are all sub-pixel run a K4
+    column loop (~half the per-lane work). Exact for any value."""
     kspec = get_kernel(kernel)
     values, _ = _as_field_matrix(values)
     if values.shape[0] > 4:
@@ -409,6 +495,14 @@ def tile_particles_coherent(
     extent = tuple(float(e) for e in spec.extent)
     n_fields = values.shape[0]
 
+    if window:
+        if window & (window - 1) or not 0 < window < C:
+            raise ValueError(f"window must be a power of two < {C}")
+        if prep == "pallas":
+            raise ValueError(
+                "window mode requires prep='xla' (the Pallas stage-A prep "
+                "does not emit window-step geometry yet)"
+            )
     if prep == "pallas":
         from .coherent_prep_pallas import cached_stage_a_pallas
 
@@ -421,18 +515,19 @@ def tile_particles_coherent(
         stage_a = _cached_stage_a(
             spec.shape, extent, spec.periodic_wrap, bounds, geom_tuples,
             kspec.support_factor, n_fields, len(levels), bases, d_max,
-            n_rows, C, donate,
+            n_rows, C, donate, window,
         )
     else:
         raise ValueError(f"unknown prep engine {prep!r}; use 'pallas'|'xla'")
-    packed, sk, sr, tail_eff, rows_by_bucket, counts = stage_a(
-        x, y, h, values
-    )
+    outs = stage_a(x, y, h, values)
+    packed, sk, sr, tail_eff, rows_by_bucket, counts = outs[:6]
+    cand_win_full = outs[6] if len(outs) > 6 else ()
     cvec = np.asarray(counts)  # the ONLY host sync
     n_cand, n_heavy, n_tail = (int(v) for v in cvec[:3])
     n_buckets = len(_TAIL_BUCKETS)
     nbs = tuple(int(v) for v in cvec[3 : 3 + n_buckets])
-    lc = cvec[3 + n_buckets :]  # per-level routed-tail counts + oversize
+    lc = cvec[3 + n_buckets : 3 + n_buckets + len(levels) + 1]
+    n_wsteps = int(cvec[-1]) if window else 0
 
     # 4096-step granularity, not pow2: schedule steps past n_cand are dead
     # (zero work but ~1.6us each on v5e), and pow2 rounding added up to
@@ -448,6 +543,20 @@ def tile_particles_coherent(
         cand_rowv = jnp.where(
             live, jax.lax.dynamic_slice(sr, (0,), (b0,)), 0
         ).astype(jnp.int32)
+
+    cand_win: tuple = ()
+    b0w = 0
+    if b0 and window:
+        cand_win = tuple(
+            jnp.where(
+                live, jax.lax.dynamic_slice(a, (0,), (b0,)), 0
+            ).astype(jnp.int32)
+            for a in cand_win_full
+        )
+        b0w = min(
+            max(4096, -(-n_wsteps // 4096) * 4096),
+            n_rows * d_max * (C // window),
+        )
 
     tail = None
     tail_metas: tuple = ()
@@ -501,19 +610,22 @@ def tile_particles_coherent(
             # per-level routed-tail particle counts (+ oversize last) — the
             # fused engine's caps_from_layout reads these
             "level_tail_counts": [int(v) for v in lc],
+            "n_window_steps": n_wsteps,
         },
+        window=window, cand_win=cand_win, b0w=b0w,
     )
 
 
 def _deposit_kernel_coherent(
-    sched_ref,  # (n_steps,) packed: work << 30 | tile << row_bits | row
-    chunk_ref,  # (1, 8, C) row-sorted channel block (read in place)
+    sched_ref,  # (n_steps,) packed: work << 30 | [kcls << 29] | tile | row | wb
+    chunk_ref,  # (1, 8, W) row-sorted channel block (read in place)
     acc_ref,  # (1, F*R, S)
     *,
     cfg: PallasDepositConfig,
-    C: int,
+    C: int,  # lane width of one block (= the window W)
     n_fields: int,
     row_bits: int,
+    wb_bits: int,
     kernel_name: str,
     support_factor: float,
     psx: float,
@@ -525,7 +637,9 @@ def _deposit_kernel_coherent(
 ):
     s = pl.program_id(0)
     word = sched_ref[s]
-    tile_of = lambda w: (w >> row_bits) & ((1 << (30 - row_bits)) - 1)
+    shift = row_bits + wb_bits
+    tile_hi = 29 if wb_bits else 30  # window words carry a kclass bit at 29
+    tile_of = lambda w: (w >> shift) & ((1 << (tile_hi - shift)) - 1)
     t = tile_of(word)
     t_prev = tile_of(sched_ref[jnp.maximum(s - 1, 0)])
     first = (s == 0) | (t != t_prev)
@@ -543,11 +657,18 @@ def _deposit_kernel_coherent(
         # ckey values are < 2^24, exact in the f32 channel
         key_chan = data[3 + n_fields : 4 + n_fields, :]
         valid = key_chan == t.astype(jnp.float32)
+        # sub-pixel-only windows run the short K4 column loop (dynamic
+        # trip count; the footprint anchor tracks k_eff)
+        k_eff = (
+            jnp.where((word >> 29) & 1 == 0, _K4, cfg.K)
+            if wb_bits
+            else None
+        )
         acc_ref[0] += _chunk_contrib(
             data, valid, cfg=cfg, C=C, n_fields=n_fields,
             kernel=kernel, support_factor=support_factor, psx=psx, psy=psy,
             offset=offset, precision=precision, projection=projection,
-            cheb=cheb,
+            cheb=cheb, k_eff=k_eff,
         )
 
 
@@ -555,24 +676,31 @@ def _deposit_kernel_coherent(
 def _cached_coherent_call(
     cfg, n_tiles, n_steps, n_rows, n_fields, row_bits,
     kernel, support_factor, psx, psy, offset, precision, interpret, projection,
+    wb_bits=0,
 ):
+    W = _CHUNK >> wb_bits
+    n_wb = _CHUNK // W
+
     def in_idx(s, sched):
-        row = sched[s] & ((1 << row_bits) - 1)
-        return (jnp.clip(row, 0, n_rows - 1), 0, 0)
+        row = (sched[s] >> wb_bits) & ((1 << row_bits) - 1)
+        wb = sched[s] & ((1 << wb_bits) - 1)
+        return (jnp.clip(row, 0, n_rows - 1), 0, jnp.clip(wb, 0, n_wb - 1))
 
     def out_idx(s, sched):
-        t = (sched[s] >> row_bits) & ((1 << (30 - row_bits)) - 1)
+        tile_hi = 29 if wb_bits else 30
+        shift = row_bits + wb_bits
+        t = (sched[s] >> shift) & ((1 << (tile_hi - shift)) - 1)
         return (jnp.clip(t, 0, n_tiles - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec((1, 8, _CHUNK), in_idx)],
+        in_specs=[pl.BlockSpec((1, 8, W), in_idx)],
         out_specs=pl.BlockSpec((1, n_fields * cfg.R, cfg.S), out_idx),
     )
     kern = partial(
         _deposit_kernel_coherent,
-        cfg=cfg, C=_CHUNK, n_fields=n_fields, row_bits=row_bits,
+        cfg=cfg, C=W, n_fields=n_fields, row_bits=row_bits, wb_bits=wb_bits,
         kernel_name=kernel, support_factor=support_factor, psx=psx, psy=psy,
         offset=offset, precision=precision, projection=projection,
         cheb=(
@@ -618,12 +746,60 @@ def _coherent_schedule(cand_tile, cand_row, n_tiles: int, n_steps: int,
     ).astype(jnp.int32)
 
 
+def _coherent_schedule_windows(
+    cand_tile, cand_row, cand_wb0, cand_nw, cand_k4n,
+    n_tiles: int, n_steps: int, row_bits: int, wb_bits: int,
+):
+    """Packed (work, kclass, tile, row, window) schedule words: tile-sorted
+    candidates expand into per-window steps (window t of candidate i reads
+    lane block ``cand_wb0[i] + t``; the first ``cand_k4n[i]`` windows hold
+    only sub-pixel lanes and take the K4 column loop). Empty tiles get one
+    non-work step so their accumulator block is zeroed."""
+    B = cand_tile.shape[0]
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    cstart = jnp.searchsorted(cand_tile, tile_range).astype(jnp.int32)
+    cend = jnp.searchsorted(cand_tile, tile_range, side="right").astype(
+        jnp.int32
+    )
+    cnw0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cand_nw, dtype=jnp.int32)]
+    )
+    nch = cnw0[cend] - cnw0[cstart]  # window steps per tile
+    nch1 = jnp.maximum(nch, 1)
+    cum = jnp.cumsum(nch1)
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
+    tile = jnp.searchsorted(cum, steps, side="right").astype(jnp.int32)
+    live = tile < n_tiles
+    tile_c = jnp.minimum(tile, n_tiles - 1)
+    tile_off = (cum - nch1).astype(jnp.int32)
+    j_in = steps - tile_off[tile_c]
+    work = live & (j_in < nch[tile_c])
+    # global window-step index -> candidate (zero-width pad candidates are
+    # skipped by the right-side search) -> window-within-candidate
+    g = cnw0[cstart[tile_c]] + jnp.where(work, j_in, 0)
+    ci = jnp.clip(
+        jnp.searchsorted(cnw0, g, side="right") - 1, 0, B - 1
+    ).astype(jnp.int32)
+    t_in = g - cnw0[ci]
+    wb = jnp.where(work, cand_wb0[ci] + t_in, 0)
+    row = jnp.where(work, cand_row[ci], 0)
+    kcls = jnp.where(work & (t_in < cand_k4n[ci]), 0, 1)
+    return (
+        (work.astype(jnp.int32) << 30)
+        | (kcls << 29)
+        | (tile_c << (row_bits + wb_bits))
+        | (row << wb_bits)
+        | wb
+    ).astype(jnp.int32)
+
+
 def _coherent_body(
     packed, cand_tile, cand_row, tail, tail_los, tail_counts,
+    cand_win=(),
     *,
     geom0, shape, extent, periodic, offset, n_fields,
     kernel, support_factor, precision, interpret, projection,
-    b0, n_rows, tail_metas_static,
+    b0, n_rows, tail_metas_static, window=0, b0w=0,
 ):
     from .deposit_pallas import _overlap_add
 
@@ -638,17 +814,34 @@ def _coherent_body(
         n_tiles = geom0.n_tiles
         row_bits = max(1, (max(1, n_rows - 1)).bit_length())
         tile_bits = max(1, n_tiles.bit_length())
-        if row_bits + tile_bits > 30:
-            raise ValueError(
-                "coherent schedule word overflow (particle count x tile "
-                "count too large); use the sorted engine"
+        if window:
+            wb_bits = (_CHUNK // window).bit_length() - 1
+            if row_bits + tile_bits + wb_bits > 29:
+                raise ValueError(
+                    "coherent window-schedule word overflow (particle count "
+                    "x tile count too large for the kclass bit); use "
+                    "window=0 or the sorted engine"
+                )
+            n_steps = b0w + n_tiles
+            sched = _coherent_schedule_windows(
+                cand_tile, cand_row, *cand_win, n_tiles, n_steps, row_bits,
+                wb_bits,
             )
-        n_steps = b0 + n_tiles
-        sched = _coherent_schedule(cand_tile, cand_row, n_tiles, n_steps, row_bits)
+        else:
+            wb_bits = 0
+            if row_bits + tile_bits > 30:
+                raise ValueError(
+                    "coherent schedule word overflow (particle count x tile "
+                    "count too large); use the sorted engine"
+                )
+            n_steps = b0 + n_tiles
+            sched = _coherent_schedule(
+                cand_tile, cand_row, n_tiles, n_steps, row_bits
+            )
         tiles = _cached_coherent_call(
             cfg, n_tiles, n_steps, n_rows, n_fields, row_bits,
             kernel, support_factor, psx, psy, offset, precision, interpret,
-            projection,
+            projection, wb_bits,
         )(sched, packed)
         total = total + _overlap_add(
             tiles, cfg, tx, geom0.n_tiles_y, geom0.n_tiles_x, n_fields,
@@ -670,17 +863,18 @@ def _coherent_body(
 def _cached_coherent_render(
     geom0, shape, extent, periodic, offset, n_fields, kernel,
     support_factor, precision, interpret, projection, b0, n_rows,
-    tail_metas_static, has_tail,
+    tail_metas_static, has_tail, window=0, b0w=0,
 ):
-    def run(packed, cand_tile, cand_row, tail, tail_los, tail_counts):
+    def run(packed, cand_tile, cand_row, tail, tail_los, tail_counts,
+            cand_win):
         return _coherent_body(
             packed, cand_tile, cand_row, tail if has_tail else None,
-            tail_los, tail_counts,
+            tail_los, tail_counts, cand_win,
             geom0=geom0, shape=shape, extent=extent, periodic=periodic,
             offset=offset, n_fields=n_fields, kernel=kernel,
             support_factor=support_factor, precision=precision,
             interpret=interpret, projection=projection, b0=b0, n_rows=n_rows,
-            tail_metas_static=tail_metas_static,
+            tail_metas_static=tail_metas_static, window=window, b0w=b0w,
         )
 
     return jax.jit(run)
@@ -718,11 +912,13 @@ def deposit_coherent(
         spec.periodic_wrap, spec.sample_offset, layout.n_fields,
         layout.kernel, get_kernel(layout.kernel).support_factor, precision,
         interpret, projection, b0, n_rows, metas_static, has_tail,
+        layout.window, layout.b0w,
     )(
         layout.packed,
         layout.cand_tile if b0 else jnp.zeros((1,), jnp.int32),
         layout.cand_row if b0 else jnp.zeros((1,), jnp.int32),
         tail, los, cnts,
+        layout.cand_win if (b0 and layout.window) else (),
     )
 
     if layout.n_tail_oversize:
@@ -835,7 +1031,7 @@ def _fused_coherent_body(
     ``metas_static``: ((geom, bucket), ...) for levels with nonzero static
     capacity; ``level_sel``: their level indices (for the dynamic lo/count
     operands). Returns (map stack, ok flag)."""
-    packed, sk, sr, tail_eff, rows_by_bucket, counts = _assign_and_rowsort(
+    packed, sk, sr, tail_eff, rows_by_bucket, counts, _ = _assign_and_rowsort(
         x, y, h, values,
         shape=shape, extent=extent, periodic=periodic, bounds=bounds,
         geom_tuples=geom_tuples, support_factor=support_factor,
@@ -845,7 +1041,9 @@ def _fused_coherent_body(
     n_buckets = len(_TAIL_BUCKETS)
     n_cand = counts[0]
     nbs = counts[3 : 3 + n_buckets]
-    lc = counts[3 + n_buckets :]  # per-level routed tail + oversize
+    # per-level routed tail + oversize (the trailing element is the
+    # window-step count, unused by the whole-row fused path)
+    lc = counts[3 + n_buckets : 3 + n_buckets + n_levels + 1]
 
     ok = n_cand <= b0
     cap_rows = jnp.asarray(
@@ -1060,6 +1258,7 @@ def deposit_2d_coherent(
     interpret: Optional[bool] = None,
     projection: str = "kernel3d",
     d_max: int = _D_MAX,
+    window: int = 0,
 ):
     """Adaptive-h deposit for snapshot-ordered input: coherent rows deposit
     in place (no global sort), the rest route through the sorted pipeline.
@@ -1067,7 +1266,7 @@ def deposit_2d_coherent(
     spatially adjacent. Returns (ny, nx) or (F, ny, nx)."""
     values, single = _as_field_matrix(values)
     layout = tile_particles_coherent(
-        x, y, h, values, spec, kernel=kernel, d_max=d_max
+        x, y, h, values, spec, kernel=kernel, d_max=d_max, window=window
     )
     total = deposit_coherent(
         layout, precision=precision, interpret=interpret, projection=projection

@@ -203,11 +203,18 @@ def _chunk_contrib(
     precision: str,
     projection: str,
     cheb: tuple[float, ...],
+    k_eff=None,
 ):
     """Contribution of one chunk of C particles to one tile's (F*R, S)
     extended accumulator — shared by the sorted-layout and coherent-order
     deposit kernels (which differ only in how they derive ``valid`` and
     which chunk row each step reads).
+
+    ``k_eff`` (traced int32 scalar, or None for the static ``cfg.K`` path)
+    shrinks the column loop for steps whose lanes all have small support:
+    the footprint anchor ``col0`` tracks it, so any ``k_eff`` whose window
+    covers every valid lane's support diameter (2*s_pix + 2 <= k_eff) is
+    exact — the coherent engine's window schedule guarantees that bound.
 
     TILE-LOCAL pixel coordinates (relative to the particle's own tile's
     extended origin, magnitude <= TY/tx + K): storing GLOBAL pixel
@@ -217,12 +224,13 @@ def _chunk_contrib(
     mask), so its local frame is this tile's frame.
     """
     K, R, S = cfg.K, cfg.R, cfg.S
+    k_hi = K if k_eff is None else k_eff
     u_loc = data[0:1, :]  # (1, C)
     v_loc = data[1:2, :]
     h = data[2:3, :]  # world-unit smoothing length
 
     # column window start (extended-tile coords), (1, C)
-    col0 = jnp.floor(u_loc - offset + 0.5).astype(jnp.int32) - (K // 2)
+    col0 = jnp.floor(u_loc - offset + 0.5).astype(jnp.int32) - (k_hi // 2)
 
     # Everything per-particle — 1/h, the kernel normalisation, the
     # validity mask — is hoisted to (1, C) factors so the (R, C)
@@ -270,7 +278,7 @@ def _chunk_contrib(
     # TPU f32 dots default to bf16 multiplication, so 'f32' must request
     # Precision.HIGHEST explicitly.
     def k_step(j, contrib):
-        k = (K - 1) - j
+        k = (k_hi - 1) - j
         rolled = pltpu.roll(contrib, 1, 1)
         colk = col0 + k  # (1, C)
         # zero columns the wrapped one-hot would misplace (off-extent
@@ -331,7 +339,7 @@ def _chunk_contrib(
         return rolled + part
 
     contrib = jax.lax.fori_loop(
-        0, K, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
+        0, k_hi, k_step, jnp.zeros((n_fields * R, S), jnp.float32)
     )
     return contrib
 

@@ -254,7 +254,8 @@ def deposit_2d_coherent_sharded(
     shmap = partial(jax.shard_map, mesh=mesh, check_vma=False)
 
     def _run_a_local(xs, ys, hs, vs):
-        packed, sk, sr, tail_eff, rows_by_bucket, counts = stage_a(xs, ys, hs, vs)
+        outs = stage_a(xs, ys, hs, vs)  # xla prep adds a 7th (window) output
+        packed, sk, sr, tail_eff, rows_by_bucket, counts = outs[:6]
         return packed, sk, sr, tail_eff, rows_by_bucket, counts[None]
 
     run_a = shmap(
@@ -278,7 +279,9 @@ def deposit_2d_coherent_sharded(
     n_cand_max = int(cvec[:, 0].max())
     n_buckets = len(_TAIL_BUCKETS)
     nbs_all = cvec[:, 3 : 3 + n_buckets].astype(np.int64)  # (n_dev, n_buckets)
-    lc = cvec[:, 3 + n_buckets :].astype(np.int64)  # (n_dev, n_levels + 1)
+    lc = cvec[:, 3 + n_buckets : 3 + n_buckets + n_levels + 1].astype(
+        np.int64
+    )  # (n_dev, n_levels + 1); the xla prep appends a window-step count
 
     # candidate capacity: 4096-step granularity (dead steps are cheap but
     # not free), shared by all shards

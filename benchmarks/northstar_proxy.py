@@ -122,7 +122,7 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
 
 
 def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
-        prep: str = "xla") -> dict:
+        prep: str = "xla", window: int = 0) -> dict:
     import jax
 
     jax.config.update(
@@ -214,7 +214,9 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
     # north-star wall is layout + deposit)
     if engine == "coherent":
         def build(*a):
-            return tile_particles_coherent(*a, donate=True, prep=prep)
+            return tile_particles_coherent(
+                *a, donate=True, prep=prep, window=window
+            )
 
         def render(tp):
             return deposit_coherent(tp, precision="bf16x2")
@@ -273,6 +275,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         "order": order,
         "engine": engine,
         "prep": prep if engine == "coherent" else None,
+        "window": window if engine == "coherent" else None,
         "wall_s": round(wall, 4),
         "budget_s": BUDGET_S,
         "pass": bool(wall < BUDGET_S and n >= 1.25e8),
@@ -297,11 +300,15 @@ def main() -> int:
     )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--prep", choices=("pallas", "xla"), default="xla")
+    ap.add_argument("--window", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     orders = ("morton", "random") if args.order == "both" else (args.order,)
-    results = [run(args.n, o, args.repeats, args.engine, args.prep) for o in orders]
+    results = [
+        run(args.n, o, args.repeats, args.engine, args.prep, args.window)
+        for o in orders
+    ]
     payload = results[0] if len(results) == 1 else {**results[0], "random_order": results[1]}
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "NORTHSTAR.json"

@@ -126,7 +126,10 @@ def main() -> int:
         res[f"pallas_rb{rb}_s"] = round(best, 4)
         del outs
 
-    res["counts_match"] = bool(np.array_equal(counts["xla"], counts["pallas"]))
+    # the xla prep appends a window-step count the pallas prep lacks
+    res["counts_match"] = bool(
+        np.array_equal(counts["xla"][: len(counts["pallas"])], counts["pallas"])
+    )
     res["counts"] = {
         "n_cand": int(counts["xla"][0]),
         "n_heavy": int(counts["xla"][1]),

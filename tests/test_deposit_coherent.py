@@ -223,3 +223,93 @@ class TestCoherentEngine:
             )
         )[0]
         assert np.abs(img_c - img_s).max() / np.abs(img_s).max() < 5e-6
+
+
+class TestWindowSchedule:
+    """W-lane window steps + per-window K4/K8 column loops: exact vs the
+    whole-row schedule on every input regime."""
+
+    def test_matches_whole_row_multilevel(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 128
+        x, y, h, m = _coherent_set(rng, 60000, box, px)
+        fields = np.stack([m, (m * rng.uniform(1, 2, x.size)).astype(np.float32)])
+        ref = np.asarray(deposit_2d_coherent(x, y, h, fields, spec, precision="f32"))
+        for W in (256, 512, 1024):
+            img = np.asarray(
+                deposit_2d_coherent(
+                    x, y, h, fields, spec, precision="f32", window=W
+                )
+            )
+            assert np.abs(img - ref).max() / np.abs(ref).max() < 1e-6, W
+
+    def test_all_subpixel_k4_only(self, rng):
+        """Every lane sub-pixel: the schedule is pure K4 and must stay exact
+        (covers the short column loop + its anchor)."""
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 128
+        x, y, h, m = _coherent_set(rng, 30000, box, px)
+        h = np.minimum(h, 0.45 * px)  # s_pix = 2h/px <= 0.9 < K4 bound
+        lay = tile_particles_coherent(x, y, h, m, spec, window=512)
+        assert lay.stats["n_window_steps"] > 0
+        img = np.asarray(deposit_coherent(lay, precision="f32"))
+        ref = np.asarray(deposit_2d_coherent(x, y, h, m, spec, precision="f32"))
+        assert np.abs(img - ref).max() / np.abs(ref).max() < 1e-6
+
+    def test_random_order_heavy_rows(self, rng):
+        """Incoherent input routes whole rows to the tail; the (nearly empty)
+        window schedule must not corrupt the map."""
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 64
+        n = 30000
+        x = rng.uniform(0, box, n).astype(np.float32)
+        y = rng.uniform(0, box, n).astype(np.float32)
+        h = np.clip(
+            0.6 * px * np.exp(0.6 * rng.normal(size=n)), 0.05 * px, 10 * px
+        ).astype(np.float32)
+        m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        ref = np.asarray(deposit_2d_coherent(x, y, h, m, spec, precision="f32"))
+        img = np.asarray(
+            deposit_2d_coherent(x, y, h, m, spec, precision="f32", window=512)
+        )
+        assert np.abs(img - ref).max() / np.abs(ref).max() < 1e-6
+
+    def test_nonperiodic_off_extent(self, rng):
+        """Non-periodic map with support spilling past the extent (halo
+        cutout shape): the K4 anchor must respect the col_ok mask."""
+        box = 8.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=False)
+        px = box / 64
+        n = 20000
+        x = rng.uniform(-0.5, box + 0.5, n).astype(np.float32)
+        y = rng.uniform(-0.5, box + 0.5, n).astype(np.float32)
+        h = np.clip(
+            0.5 * px * np.exp(0.5 * rng.normal(size=n)), 0.05 * px, 6 * px
+        ).astype(np.float32)
+        m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        ref = np.asarray(deposit_2d_coherent(x, y, h, m, spec, precision="f32"))
+        img = np.asarray(
+            deposit_2d_coherent(x, y, h, m, spec, precision="f32", window=512)
+        )
+        assert np.abs(img - ref).max() / max(np.abs(ref).max(), 1e-30) < 1e-6
+
+    def test_window_stats_and_validation(self, rng):
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 64
+        x, y, h, m = _coherent_set(rng, 20000, box, px)
+        lay = tile_particles_coherent(x, y, h, m, spec, window=512)
+        st = lay.stats
+        # every coherent row's head contributes at least one window step
+        assert st["n_window_steps"] >= st["n_candidates"] > 0
+        assert lay.b0w >= st["n_window_steps"]
+        assert len(lay.cand_win) == 3
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="power of two"):
+            tile_particles_coherent(x, y, h, m, spec, window=300)
+        with _pytest.raises(ValueError, match="prep"):
+            tile_particles_coherent(x, y, h, m, spec, window=512, prep="pallas")

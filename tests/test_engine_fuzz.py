@@ -99,6 +99,10 @@ def test_engines_agree_on_random_configs(seed):
         imgs[f"coherent-{prep}"] = np.asarray(
             deposit_coherent(lay, precision="f32")
         )
+    # W-lane window schedule (K4/K8 column loops) on a seed-varied width
+    W = int(np.random.default_rng(1000 + seed).choice([256, 512, 1024]))
+    lay_w = tile_particles_coherent(x, y, h, vals, spec, window=W)
+    imgs[f"coherent-w{W}"] = np.asarray(deposit_coherent(lay_w, precision="f32"))
     ref = np.stack(
         [
             project_oracle_fast(
@@ -120,6 +124,7 @@ def test_engines_agree_on_random_configs(seed):
         assert rel < 5e-4, (name, rel)
     # engines must agree with each other much tighter than with the oracle
     for a, b in (("coherent-pallas", "coherent-xla"),
-                 ("coherent-pallas", "sorted")):
+                 ("coherent-pallas", "sorted"),
+                 (f"coherent-w{W}", "coherent-xla")):
         rel = np.abs(imgs[a] - imgs[b]).max() / scale
         assert rel < 1e-5, (a, b, rel)
