@@ -219,15 +219,20 @@ def _assign_and_rowsort(
         )
         real = starts < head_len
         # class boundary: lanes below `mid` are sub-pixel (the refined sort
-        # key parks them first within the candidate's segment)
-        cand_id = jnp.cumsum(live_first.astype(jnp.int32), axis=1) - 1
+        # key parks them first within the candidate's segment), so the
+        # small count per candidate is one lane-axis prefix sum differenced
+        # at the segment bounds (small_l0 is zero outside l0 segments)
         small_l0 = is_l0 & (cls2 == 0) & coherent[:, None]
-        mids = starts + jnp.stack(
+        spre = jnp.concatenate(
             [
-                ((cand_id == i) & small_l0).sum(axis=1, dtype=jnp.int32)
-                for i in range(d_max)
+                jnp.zeros((n_rows, 1), jnp.int32),
+                jnp.cumsum(small_l0.astype(jnp.int32), axis=1),
             ],
             axis=1,
+        )  # spre[:, j] = # small lanes in [0, j)
+        mids = starts + (
+            jnp.take_along_axis(spre, ends, axis=1)
+            - jnp.take_along_axis(spre, starts, axis=1)
         )
         wb0 = jnp.where(real, starts, 0) // window
         nw = jnp.where(real, (ends - 1) // window - wb0 + 1, 0)
@@ -496,8 +501,10 @@ def tile_particles_coherent(
     n_fields = values.shape[0]
 
     if window:
-        if window & (window - 1) or not 0 < window < C:
-            raise ValueError(f"window must be a power of two < {C}")
+        if window & (window - 1) or not 128 <= window < C:
+            # the deposit reads (1, 8, W) blocks; Mosaic lane blocks below
+            # 128 don't lower on TPU
+            raise ValueError(f"window must be a power of two in [128, {C})")
         if prep == "pallas":
             raise ValueError(
                 "window mode requires prep='xla' (the Pallas stage-A prep "
@@ -719,15 +726,18 @@ def _cached_coherent_call(
     )
 
 
-def _coherent_schedule(cand_tile, cand_row, n_tiles: int, n_steps: int,
-                       row_bits: int):
-    """Packed (work, tile, row) schedule words over tile-sorted candidates.
-    Empty tiles get one non-work step so their accumulator block is zeroed
-    (trailing dead steps re-target the last tile with no effect)."""
+def _tile_steps(cand_tile, n_tiles: int, n_steps: int, nch_of):
+    """Shared schedule-step expansion: every tile gets max(nch, 1)
+    consecutive steps, where ``nch = nch_of(cstart, cend)`` is its work-step
+    count over the tile-sorted candidate list. Empty tiles get one non-work
+    step so their accumulator block is zeroed; trailing dead steps re-target
+    the last tile with no effect. Returns (cstart, nch, tile_c, j_in, work)."""
     tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
     cstart = jnp.searchsorted(cand_tile, tile_range).astype(jnp.int32)
-    cend = jnp.searchsorted(cand_tile, tile_range, side="right").astype(jnp.int32)
-    nch = cend - cstart
+    cend = jnp.searchsorted(cand_tile, tile_range, side="right").astype(
+        jnp.int32
+    )
+    nch = nch_of(cstart, cend)
     nch1 = jnp.maximum(nch, 1)
     cum = jnp.cumsum(nch1)
     steps = jnp.arange(n_steps, dtype=jnp.int32)
@@ -737,6 +747,16 @@ def _coherent_schedule(cand_tile, cand_row, n_tiles: int, n_steps: int,
     tile_off = (cum - nch1).astype(jnp.int32)
     j_in = steps - tile_off[tile_c]
     work = live & (j_in < nch[tile_c])
+    return cstart, nch, tile_c, j_in, work
+
+
+def _coherent_schedule(cand_tile, cand_row, n_tiles: int, n_steps: int,
+                       row_bits: int):
+    """Packed (work, tile, row) schedule words over tile-sorted candidates:
+    one whole-row step per candidate."""
+    cstart, _, tile_c, j_in, work = _tile_steps(
+        cand_tile, n_tiles, n_steps, lambda cs, ce: ce - cs
+    )
     ci = jnp.clip(cstart[tile_c] + j_in, 0, cand_tile.shape[0] - 1)
     row = jnp.where(work, cand_row[ci], 0)
     return (
@@ -753,27 +773,14 @@ def _coherent_schedule_windows(
     """Packed (work, kclass, tile, row, window) schedule words: tile-sorted
     candidates expand into per-window steps (window t of candidate i reads
     lane block ``cand_wb0[i] + t``; the first ``cand_k4n[i]`` windows hold
-    only sub-pixel lanes and take the K4 column loop). Empty tiles get one
-    non-work step so their accumulator block is zeroed."""
+    only sub-pixel lanes and take the K4 column loop)."""
     B = cand_tile.shape[0]
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
-    cstart = jnp.searchsorted(cand_tile, tile_range).astype(jnp.int32)
-    cend = jnp.searchsorted(cand_tile, tile_range, side="right").astype(
-        jnp.int32
-    )
     cnw0 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cand_nw, dtype=jnp.int32)]
     )
-    nch = cnw0[cend] - cnw0[cstart]  # window steps per tile
-    nch1 = jnp.maximum(nch, 1)
-    cum = jnp.cumsum(nch1)
-    steps = jnp.arange(n_steps, dtype=jnp.int32)
-    tile = jnp.searchsorted(cum, steps, side="right").astype(jnp.int32)
-    live = tile < n_tiles
-    tile_c = jnp.minimum(tile, n_tiles - 1)
-    tile_off = (cum - nch1).astype(jnp.int32)
-    j_in = steps - tile_off[tile_c]
-    work = live & (j_in < nch[tile_c])
+    cstart, _, tile_c, j_in, work = _tile_steps(
+        cand_tile, n_tiles, n_steps, lambda cs, ce: cnw0[ce] - cnw0[cs]
+    )
     # global window-step index -> candidate (zero-width pad candidates are
     # skipped by the right-side search) -> window-within-candidate
     g = cnw0[cstart[tile_c]] + jnp.where(work, j_in, 0)

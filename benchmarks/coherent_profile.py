@@ -240,7 +240,7 @@ def main() -> int:
     )
 
     outs = stage_a(x, y, h, fields)
-    packed, _sk, _sr, tail_eff, rows_by_bucket, counts_d = outs
+    packed, _sk, _sr, tail_eff, rows_by_bucket, counts_d = outs[:6]
     t0 = time.perf_counter()
     cvec = np.asarray(counts_d)
     res["sync1_s"] = round(time.perf_counter() - t0, 4)

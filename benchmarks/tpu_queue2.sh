@@ -8,13 +8,20 @@ LOG=/tmp/tpu_queue2.log
 say() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
 say "waiting for queue 1 to complete..."
+DONE=0
 for i in $(seq 1 400); do
   if grep -q "queue complete" /tmp/tpu_queue.log 2>/dev/null; then
     say "queue 1 complete"
+    DONE=1
     break
   fi
   sleep 120
 done
+if [ "$DONE" != 1 ]; then
+  # never start a second TPU process while queue 1 may still hold the chip
+  say "queue 1 did not complete within the wait budget; aborting queue 2"
+  exit 1
+fi
 
 say "=== 1/3 window A/B (2^26) ==="
 timeout 3600 python benchmarks/window_ab.py --n $((1<<26)) >> "$LOG" 2>&1 \
