@@ -443,7 +443,7 @@ def tile_particles_coherent(
     levels: tuple[PallasDepositConfig, ...] = PALLAS_LEVELS,
     d_max: int = _D_MAX,
     donate: bool = False,
-    prep: str = "xla",
+    prep: Optional[str] = None,
     window: int = 0,
 ) -> CoherentLayout:
     """Build the coherent-order layout. ONE small host sync: the stage-A
@@ -455,7 +455,12 @@ def tile_particles_coherent(
     step; a power of two < C schedules W-lane window steps over the
     candidate's lane segment instead — dead lanes outside the segment are
     never touched, and windows whose lanes are all sub-pixel run a K4
-    column loop (~half the per-lane work). Exact for any value."""
+    column loop (~half the per-lane work). Exact for any value.
+
+    ``prep``: stage-A engine. ``None`` (default) resolves to the fused
+    Pallas prep on TPU (1.8-1.9x the XLA stage A — PREP_AB.json) and the
+    XLA stage A elsewhere (interpret-mode Pallas is emulation-slow) or in
+    window mode (the Pallas prep does not emit window-step geometry)."""
     kspec = get_kernel(kernel)
     values, _ = _as_field_matrix(values)
     if values.shape[0] > 4:
@@ -500,6 +505,12 @@ def tile_particles_coherent(
     extent = tuple(float(e) for e in spec.extent)
     n_fields = values.shape[0]
 
+    if prep is None:
+        prep = (
+            "pallas"
+            if jax.default_backend() == "tpu" and not window
+            else "xla"
+        )
     if window:
         if window & (window - 1) or not 128 <= window < C:
             # the deposit reads (1, 8, W) blocks; Mosaic lane blocks below
@@ -1032,19 +1043,36 @@ def _fused_coherent_body(
     support_factor, n_fields, n_levels, d_max, n_rows, C,
     b0, gather_caps, metas_static, level_sel, any_tail,
     kernel, precision, interpret, projection, n_tiles0,
+    prep="xla",
 ):
     """The whole coherent render as ONE traced function (zero host syncs).
 
     ``metas_static``: ((geom, bucket), ...) for levels with nonzero static
     capacity; ``level_sel``: their level indices (for the dynamic lo/count
     operands). Returns (map stack, ok flag)."""
-    packed, sk, sr, tail_eff, rows_by_bucket, counts, _ = _assign_and_rowsort(
-        x, y, h, values,
-        shape=shape, extent=extent, periodic=periodic, bounds=bounds,
-        geom_tuples=geom_tuples, support_factor=support_factor,
-        n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
-        n_rows=n_rows, C=C,
-    )
+    if prep == "pallas":
+        from .coherent_prep_pallas import _stage_a_pallas
+
+        rb = 16
+        while n_rows % rb:  # grid must cover every row block exactly
+            rb //= 2
+        outs = _stage_a_pallas(
+            x, y, h, values,
+            shape=shape, extent=extent, periodic=periodic, bounds=bounds,
+            geom_tuples=geom_tuples, support_factor=support_factor,
+            n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
+            n_rows=n_rows, C=C, RB=rb, interpret=interpret,
+            tail_buckets=_TAIL_BUCKETS,
+        )
+    else:
+        outs = _assign_and_rowsort(
+            x, y, h, values,
+            shape=shape, extent=extent, periodic=periodic, bounds=bounds,
+            geom_tuples=geom_tuples, support_factor=support_factor,
+            n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
+            n_rows=n_rows, C=C,
+        )
+    packed, sk, sr, tail_eff, rows_by_bucket, counts = outs[:6]
     n_buckets = len(_TAIL_BUCKETS)
     n_cand = counts[0]
     nbs = counts[3 : 3 + n_buckets]
@@ -1149,6 +1177,7 @@ def deposit_2d_coherent_fused(
     projection: str = "kernel3d",
     d_max: int = _D_MAX,
     donate: bool = False,
+    prep: Optional[str] = None,
 ):
     """Zero-host-sync coherent render with pinned capacities.
 
@@ -1183,7 +1212,7 @@ def deposit_2d_coherent_fused(
     statics = _build_fused_statics(
         spec, caps, kernel=kernel, levels=levels, d_max=d_max,
         n_rows=n_rows, n_fields=int(values.shape[0]), precision=precision,
-        interpret=interpret, projection=projection,
+        interpret=interpret, projection=projection, prep=prep,
     )
     total, ok = _cached_fused_render(statics, donate)(x, y, h, values)
     return (total[0] if single else total), ok
@@ -1191,7 +1220,7 @@ def deposit_2d_coherent_fused(
 
 def _build_fused_statics(
     spec: MapSpec, caps: CoherentCaps, *, kernel, levels, d_max, n_rows,
-    n_fields, precision, interpret, projection,
+    n_fields, precision, interpret, projection, prep=None,
 ):
     """Static keyword tuple for :func:`_fused_coherent_body` (hashable —
     keys the jit caches of both the single-chip and sharded fused paths)."""
@@ -1254,6 +1283,9 @@ def _build_fused_statics(
         ("interpret", interpret),
         ("projection", projection),
         ("n_tiles0", geoms[0].n_tiles),
+        # fused stage-A engine: Pallas prep when compiled (PREP_AB.json),
+        # XLA stage A under interpret-mode emulation
+        ("prep", prep if prep is not None else ("xla" if interpret else "pallas")),
     )
 
 

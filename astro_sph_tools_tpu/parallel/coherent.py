@@ -103,6 +103,7 @@ def deposit_2d_coherent_sharded_fused(
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
     projection: str = "kernel3d",
+    prep: Optional[str] = None,
 ) -> tuple[Array, Array]:
     """Zero-host-sync multi-chip coherent render with pinned capacities.
 
@@ -136,6 +137,7 @@ def deposit_2d_coherent_sharded_fused(
         spec, caps, kernel=kernel, levels=levels, d_max=d_max,
         n_rows=n // (n_dev * _CHUNK), n_fields=int(values.shape[0]),
         precision=precision, interpret=interpret, projection=projection,
+        prep=prep,
     )
     body = partial(_fused_coherent_body, **dict(statics))
 
@@ -174,7 +176,7 @@ def deposit_2d_coherent_sharded(
     precision: str = "bf16x2",
     interpret: Optional[bool] = None,
     projection: str = "kernel3d",
-    prep: str = "xla",
+    prep: Optional[str] = None,
 ) -> Array:
     """Particle-sharded coherent-order adaptive deposit; returns the
     psum-reduced (ny, nx) or (F, ny, nx) map stack (replicated).
@@ -224,10 +226,14 @@ def deposit_2d_coherent_sharded(
     extent = tuple(float(e) for e in spec.extent)
     n_levels = len(levels)
 
+    if prep is None:
+        # Pallas prep when compiled (1.8-1.9x the XLA stage A —
+        # PREP_AB.json), XLA stage A under interpret-mode emulation
+        prep = "xla" if interpret else "pallas"
     if prep == "pallas":
         from ..ops.coherent_prep_pallas import _stage_a_pallas
 
-        rb = 8
+        rb = 16  # PREP_AB.json: RB=16 measured best
         while n_rows_l % rb:  # grid must cover every row block exactly
             rb //= 2
         stage_a = partial(

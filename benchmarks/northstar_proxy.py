@@ -122,7 +122,7 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
 
 
 def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
-        prep: str = "xla", window: int = 0) -> dict:
+        prep=None, window: int = 0) -> dict:
     import jax
 
     jax.config.update(
@@ -168,7 +168,8 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
 
         def fused():
             return deposit_2d_coherent_fused(
-                x, y, h, fields, spec, caps, precision="bf16x2", donate=True
+                x, y, h, fields, spec, caps, precision="bf16x2",
+                donate=True, prep=prep,
             )
 
         x, y, h, fields = gen()
@@ -299,7 +300,7 @@ def main() -> int:
         default="sorted",
     )
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--prep", choices=("pallas", "xla"), default="xla")
+    ap.add_argument("--prep", choices=("pallas", "xla"), default=None)
     ap.add_argument("--window", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

@@ -65,7 +65,15 @@ def main() -> int:
         tp = tile_particles_coherent(
             x, y, h, fields, spec, donate=True, window=W
         )
-        out = deposit_coherent(tp, precision="bf16x2")
+        try:
+            out = deposit_coherent(tp, precision="bf16x2")
+        except ValueError as err:
+            # schedule-word overflow: small windows spend their tile/row
+            # bits on the window-block field at large n_rows x n_tiles
+            res["cases"][f"window={W}"] = {"error": str(err)}
+            print(json.dumps({f"window={W}": {"error": str(err)}}), flush=True)
+            del tp
+            continue
         s = float(out[0].sum())
         warm = time.perf_counter() - t0
         if ref_sum is None:
