@@ -21,7 +21,7 @@ oracle. Precision modes as in 2D (default split-bf16, <=1e-5 class).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import lru_cache, partial
 from typing import Optional
 
@@ -82,14 +82,26 @@ class Pallas3DConfig:
         return (self.K - 2) / 2
 
 
-# Tile heights are sized so the per-tile scalar-prefetch tables fit SMEM
-# (~1 MB): a 512^3 grid with 4x4 tiles needs 131k tiles x 2 arrays = over
-# budget; 8x8 tiles keep it at ~256 KB.
+# Preferred (smallest-accumulator) tile heights per level. The flat
+# work-list grid prefetches one int32 schedule word per step plus FOUR
+# per-tile tables (block_start / tile_off / pstart / pcount) into SMEM
+# (~1 MiB on v5e): a 512^3 grid at 4x4 tiles is 131k tiles = 2 MiB of
+# tables alone, and every tile costs one (zeroing) grid step even when
+# empty. :func:`_adapt_cfg_3d` grows TZ/TY per grid shape until the
+# tables fit, so these are starting points, not hard geometry.
 PALLAS_3D_LEVELS: tuple[Pallas3DConfig, ...] = (
     Pallas3DConfig(K=4, TZ=8, TY=8),
     Pallas3DConfig(K=8, TZ=8, TY=8),
     Pallas3DConfig(K=16, TZ=4, TY=4),
 )
+
+_SMEM_BUDGET_BYTES = 768 * 1024  # headroom under the ~1 MiB SMEM
+
+
+def _smem_table_bytes_3d(n_tiles: int, n_rows_bound: int) -> int:
+    """int32 bytes of the scalar-prefetch operands for one level pass:
+    sched (n_rows + 2*n_tiles words) + 4 per-tile tables."""
+    return 4 * (n_rows_bound + 6 * n_tiles)
 
 
 
@@ -330,6 +342,40 @@ def _geometry_3d(
     )
 
 
+def _adapt_cfg_3d(
+    cfg: Pallas3DConfig,
+    spec_shape,
+    periodic: tuple[bool, bool, bool],
+    n_rows_bound: int,
+) -> Pallas3DConfig:
+    """Grow a level's tile heights until its scalar-prefetch tables fit SMEM.
+
+    Doubling TZ/TY divides the tile count by 2 without changing level
+    assignment (``max_s_vox`` depends only on K), so adapted geometry is a
+    pure scheduling choice. Candidates that fail the periodic divisibility
+    check are skipped; if nothing fits the budget, the largest valid
+    geometry wins (better a tight compile than a disabled level).
+    """
+    tz, ty = cfg.TZ, cfg.TY
+    best: Optional[Pallas3DConfig] = None
+    while True:
+        cand = replace(cfg, TZ=tz, TY=ty)
+        try:
+            g = _geometry_3d(cand, spec_shape, periodic)
+        except ValueError:
+            g = None
+        if g is not None:
+            best = cand
+            if _smem_table_bytes_3d(g.n_tiles, n_rows_bound) <= _SMEM_BUDGET_BYTES:
+                return cand
+        if tz >= 64 and ty >= 64:
+            return best if best is not None else cfg
+        if ty <= tz and ty < 64:
+            ty *= 2
+        else:
+            tz *= 2
+
+
 def _deposit_3d_pallas_traced(
     cx, cy, cz, h, values,  # (N,) x4 + (F, N); N a multiple of _CHUNK
     *,
@@ -468,6 +514,8 @@ def deposit_3d_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     periodic = (spec.periodic_wrap,) * 3
+    n_rows_bound = max(_CHUNK, _next_pow2(int(pos.shape[0]))) // _CHUNK
+    cfg = _adapt_cfg_3d(cfg, spec.shape, periodic, n_rows_bound)
     geom = _geometry_3d(cfg, spec.shape, periodic)
 
     pos = jnp.asarray(pos, jnp.float32)
@@ -626,6 +674,12 @@ def tile_particles_3d(
         raise ValueError("3D pallas deposit supports at most 4 fields per pass")
 
     periodic = (spec.periodic_wrap,) * 3
+    n = int(pos.shape[0])
+    n_bucket = max(_CHUNK, _next_pow2(n))
+    levels = tuple(
+        _adapt_cfg_3d(cfg, spec.shape, periodic, n_bucket // _CHUNK)
+        for cfg in levels
+    )
     geoms: list[Optional[_Geometry3D]] = []
     for cfg in levels:
         try:
@@ -655,8 +709,6 @@ def tile_particles_3d(
 
     # pow2 pad: parks at the extent max with sub-voxel h (lands in the
     # smallest level, weight 0)
-    n = int(pos.shape[0])
-    n_bucket = max(_CHUNK, _next_pow2(n))
     if n_bucket != n:
         pad = n_bucket - n
         pad_h = 0.1 * min(spec.voxel_size)

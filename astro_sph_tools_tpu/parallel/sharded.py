@@ -219,6 +219,7 @@ def deposit_3d_sharded(
         from ..ops.grid3d_pallas import (
             _CHUNK as _P3D_CHUNK,
             PALLAS_3D_LEVELS,
+            _adapt_cfg_3d,
             _deposit_3d_pallas_traced,
             _geometry_3d,
         )
@@ -227,6 +228,10 @@ def deposit_3d_sharded(
         if cfg3 is None:
             raise ValueError(f"no 3D pallas level hosts K={K}")
         periodic3 = (spec.periodic_wrap, spec.periodic_wrap, False)
+        # per-shard row bound: the shard's padded chunk count
+        n_shard = -(-int(pos.shape[0]) // n_dev)
+        rows_bound = max(1, -(-max(n_shard, _P3D_CHUNK) // _P3D_CHUNK))
+        cfg3 = _adapt_cfg_3d(cfg3, ext_shape, periodic3, rows_bound)
         geom3 = _geometry_3d(cfg3, ext_shape, periodic3)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"

@@ -109,6 +109,54 @@ class TestPallas3D:
             )
             assert rel_err(got[f], expected) < 1e-5
 
+    def test_adapted_tile_heights_fit_smem(self):
+        """512^3 at 2^24 particles (the config-3 bench shape) must adapt
+        every level's tile heights until the scalar-prefetch tables fit the
+        ~1 MiB SMEM; the unadapted K=16 level (131k tiles) overflows it on
+        hardware (AOT error: 'prefetched SMEM operand 0' > 1048576 B)."""
+        from astro_sph_tools_tpu.ops.grid3d_pallas import (
+            _SMEM_BUDGET_BYTES,
+            _adapt_cfg_3d,
+            _geometry_3d,
+            _smem_table_bytes_3d,
+        )
+
+        shape = (512, 512, 512)
+        periodic = (True, True, True)
+        n_rows_bound = (1 << 24) // 512
+        for cfg in PALLAS_3D_LEVELS:
+            adapted = _adapt_cfg_3d(cfg, shape, periodic, n_rows_bound)
+            g = _geometry_3d(adapted, shape, periodic)
+            assert (
+                _smem_table_bytes_3d(g.n_tiles, n_rows_bound)
+                <= _SMEM_BUDGET_BYTES
+            ), (cfg.K, adapted.TZ, adapted.TY, g.n_tiles)
+            assert adapted.K == cfg.K  # level assignment unchanged
+
+    def test_grown_tile_heights_match_oracle(self, rng):
+        """Kernel correctness is independent of TZ/TY (what the SMEM
+        adaptation varies): render with deliberately grown tiles."""
+        from astro_sph_tools_tpu.ops.grid3d_pallas import Pallas3DConfig
+
+        box = 8.0
+        spec = GridSpec(
+            shape=(32, 32, 32), extent=(0.0, box) * 3, periodic_wrap=True
+        )
+        vox = box / 32
+        n = 500
+        pos = rng.uniform(0, box, (n, 3))
+        h = rng.uniform(0.3, 0.45, n) * vox
+        m = rng.uniform(0.5, 2.0, n)
+        expected = grid3d_oracle(pos, h, m, spec.shape, spec.extent, periodic=True)
+        for tz, ty in ((16, 8), (16, 16), (32, 8)):
+            got = np.asarray(
+                deposit_3d_pallas(
+                    pos, h, m, spec, precision="f32",
+                    level=Pallas3DConfig(K=4, TZ=tz, TY=ty),
+                )
+            )
+            assert rel_err(got, expected) < 1e-5, (tz, ty)
+
     def test_layout_reuse_and_meta(self, rng):
         """tile_particles_3d builds the layout once; deposit_3d_tiled renders
         from it, and per-level metas cover exactly the non-oversize count."""
