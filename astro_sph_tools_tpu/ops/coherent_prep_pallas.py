@@ -51,6 +51,11 @@ from .deposit_pallas import _CHUNK, _multi_level_assign
 
 Array = jax.Array
 
+# K4 classification bound — import would be circular at definition time for
+# some import orders, so the value is mirrored from
+# deposit_coherent._K4_MAX_S and pinned equal by tests
+_K4_MAX_S = 1.0
+
 # aux column layout (f32, exact for all stored integers < 2^24)
 _AUX_W = 128  # lane-aligned aux row width
 
@@ -171,10 +176,18 @@ def _prep_kernel(
     # --- candidates: d_max iterated min-extractions over head keys ---
     pad_key_f = float(bases[n_levels] + 1)
     masked = jnp.where(is_tail, pad_key_f, ckey_f)
+    # level-0 lanes whose footprint exceeds the K4 column window — any such
+    # lane in a candidate's key group forces the full-K column loop
+    big = (~is_tail) & (s_pix > _K4_MAX_S)
     cand_cols = []
+    k4_cols = []
     for _ in range(d_max):
         m = jnp.min(masked, axis=1, keepdims=True)  # (RB, 1)
         cand_cols.append(m)
+        any_big = jnp.max(
+            jnp.where((ckey_f == m) & big, 1.0, 0.0), axis=1, keepdims=True
+        )
+        k4_cols.append(1.0 - any_big)
         masked = jnp.where(masked == m, pad_key_f, masked)
     leftover = jnp.min(masked, axis=1, keepdims=True)
     heavy = leftover < float(bases[1])  # > d_max distinct level-0 keys
@@ -197,9 +210,10 @@ def _prep_kernel(
             n_l0,
             heavy.astype(jnp.float32),
         ]
-        + lev_cols,
+        + lev_cols
+        + [jnp.concatenate(k4_cols, axis=1)],
         axis=1,
-    )  # (RB, d_max + 3 + n_levels)
+    )  # (RB, 2*d_max + 3 + n_levels)
     w = aux_row.shape[1]
     aux_ref[:, :w] = aux_row
     aux_ref[:, w:] = jnp.zeros((x.shape[0], _AUX_W - w), jnp.float32)
@@ -265,13 +279,16 @@ def _stage_a_pallas(
         aux[:, d_max + 3 + li].astype(jnp.int32).sum()
         for li in range(n_levels)
     ]
+    cand_k4 = aux[
+        :, d_max + 3 + n_levels : 2 * d_max + 3 + n_levels
+    ].astype(jnp.int32)
 
     cand_rows = jnp.broadcast_to(
         jnp.arange(n_rows, dtype=jnp.int32)[:, None], (n_rows, d_max)
     )
-    sk, sr = jax.lax.sort(
-        [cand_keys.reshape(-1), cand_rows.reshape(-1)], num_keys=1,
-        is_stable=False,
+    sk, sr, sk4 = jax.lax.sort(
+        [cand_keys.reshape(-1), cand_rows.reshape(-1), cand_k4.reshape(-1)],
+        num_keys=1, is_stable=False,
     )
     n_cand = jnp.searchsorted(sk, jnp.int32(bases[1])).astype(jnp.int32)
     n_heavy = heavy.sum().astype(jnp.int32)
@@ -297,7 +314,7 @@ def _stage_a_pallas(
             jnp.stack([lc0, *lev_counts]),
         ]
     )
-    return packed, sk, sr, tail_eff, rows_by_bucket, counts
+    return packed, sk, sr, sk4, tail_eff, rows_by_bucket, counts
 
 
 @lru_cache(maxsize=256)

@@ -124,6 +124,7 @@ class CoherentLayout:
     window: int = 0  # W-lane window steps (0 = whole-row steps)
     cand_win: tuple = ()  # (wb0, nw, k4n) per candidate, window mode only
     b0w: int = 0  # window-step schedule capacity (size-classed)
+    cand_k4: Optional[Array] = None  # (B0,) 1 = all lanes sub-pixel (K4)
 
 
 def _assign_and_rowsort(
@@ -161,6 +162,10 @@ def _assign_and_rowsort(
     )
 
     to2 = lambda a: a.reshape(n_rows, C)
+    # pre-sort copies for the per-candidate K4 classification (the lane set
+    # with a given key in a row is sort-invariant)
+    ck2 = to2(ckey)
+    big2 = to2((level == 0) & (s_pix > _K4_MAX_S))
     if window:
         # sub-level refinement bit: level-0 lanes with footprint too wide
         # for the K4 column window sort after their sub-pixel peers
@@ -201,6 +206,18 @@ def _assign_and_rowsort(
     cand_rows = jnp.broadcast_to(
         jnp.arange(n_rows, dtype=jnp.int32)[:, None], (n_rows, d_max)
     )
+    # per-candidate K4 class: 1 iff NO lane with this key has a footprint
+    # wider than the short column loop serves (s_pix > _K4_MAX_S). The
+    # deposit kernel's kclass bit selects a 4-iteration column loop for
+    # those steps — about half the VPU/MXU work on sub-pixel-dominated
+    # (real-snapshot) h distributions.
+    cand_k4 = jnp.stack(
+        [
+            ~((ck2 == cand_keys[:, j : j + 1]) & big2).any(axis=1)
+            for j in range(d_max)
+        ],
+        axis=1,
+    ).astype(jnp.int32)  # (n_rows, D)
     cand_win: tuple = ()
     n_wsteps = jnp.int32(0)
     if window:
@@ -241,19 +258,21 @@ def _assign_and_rowsort(
         k4n = jnp.where(
             ends <= mids, nw, jnp.clip(mids // window - wb0, 0, nw)
         )
-        sk, sr, swb0, snw, sk4 = jax.lax.sort(
+        sk, sr, sk4, swb0, snw, sk4n = jax.lax.sort(
             [
                 cand_keys.reshape(-1), cand_rows.reshape(-1),
+                cand_k4.reshape(-1),
                 wb0.reshape(-1), nw.reshape(-1), k4n.reshape(-1),
             ],
             num_keys=1, is_stable=False,
         )
-        cand_win = (swb0, snw, sk4)
+        cand_win = (swb0, snw, sk4n)
         n_wsteps = nw.sum(dtype=jnp.int32)
     else:
-        sk, sr = jax.lax.sort(
-            [cand_keys.reshape(-1), cand_rows.reshape(-1)], num_keys=1,
-            is_stable=False,
+        sk, sr, sk4 = jax.lax.sort(
+            [cand_keys.reshape(-1), cand_rows.reshape(-1),
+             cand_k4.reshape(-1)],
+            num_keys=1, is_stable=False,
         )
     n_cand = jnp.searchsorted(sk, jnp.int32(bases[1])).astype(jnp.int32)
 
@@ -301,7 +320,7 @@ def _assign_and_rowsort(
             jnp.stack([n_wsteps]),
         ]
     )
-    return packed, sk, sr, tail_eff, rows_by_bucket, counts, cand_win
+    return packed, sk, sr, sk4, tail_eff, rows_by_bucket, counts, cand_win
 
 
 @lru_cache(maxsize=256)
@@ -538,8 +557,8 @@ def tile_particles_coherent(
     else:
         raise ValueError(f"unknown prep engine {prep!r}; use 'pallas'|'xla'")
     outs = stage_a(x, y, h, values)
-    packed, sk, sr, tail_eff, rows_by_bucket, counts = outs[:6]
-    cand_win_full = outs[6] if len(outs) > 6 else ()
+    packed, sk, sr, sk4, tail_eff, rows_by_bucket, counts = outs[:7]
+    cand_win_full = outs[7] if len(outs) > 7 else ()
     cvec = np.asarray(counts)  # the ONLY host sync
     n_cand, n_heavy, n_tail = (int(v) for v in cvec[:3])
     n_buckets = len(_TAIL_BUCKETS)
@@ -552,7 +571,7 @@ def tile_particles_coherent(
     # n_cand dead steps at 1e8 scale (0.1 s class); coarse granularity still
     # bounds the compiled-program variety
     b0 = min(max(4096, -(-n_cand // 4096) * 4096), n_rows * d_max) if n_cand else 0
-    cand_tile = cand_rowv = None
+    cand_tile = cand_rowv = cand_k4v = None
     if b0:
         n_tiles0 = geoms[0].n_tiles
         ck = jax.lax.dynamic_slice(sk, (0,), (b0,))
@@ -560,6 +579,9 @@ def tile_particles_coherent(
         cand_tile = jnp.where(live, ck, n_tiles0).astype(jnp.int32)
         cand_rowv = jnp.where(
             live, jax.lax.dynamic_slice(sr, (0,), (b0,)), 0
+        ).astype(jnp.int32)
+        cand_k4v = jnp.where(
+            live, jax.lax.dynamic_slice(sk4, (0,), (b0,)), 0
         ).astype(jnp.int32)
 
     cand_win: tuple = ()
@@ -612,7 +634,8 @@ def tile_particles_coherent(
     n_coh_rows = n_rows - n_heavy
     return CoherentLayout(
         spec=spec, kernel=kernel, geom0=geoms[0], packed=packed,
-        cand_tile=cand_tile, cand_row=cand_rowv, n_cand=n_cand,
+        cand_tile=cand_tile, cand_row=cand_rowv, cand_k4=cand_k4v,
+        n_cand=n_cand,
         tail=tail, tail_metas=tail_metas, n_tail_oversize=n_tail_oversize,
         n_tail_sorted=n_tail_sorted, n_fields=n_fields, n_valid=n_valid,
         stats={
@@ -652,11 +675,13 @@ def _deposit_kernel_coherent(
     precision: str,
     projection: str,
     cheb: tuple[float, ...],
+    has_kclass: bool = False,
 ):
     s = pl.program_id(0)
     word = sched_ref[s]
     shift = row_bits + wb_bits
-    tile_hi = 29 if wb_bits else 30  # window words carry a kclass bit at 29
+    # window words and kclass-tagged whole-row words carry a kclass bit at 29
+    tile_hi = 29 if (wb_bits or has_kclass) else 30
     tile_of = lambda w: (w >> shift) & ((1 << (tile_hi - shift)) - 1)
     t = tile_of(word)
     t_prev = tile_of(sched_ref[jnp.maximum(s - 1, 0)])
@@ -675,11 +700,11 @@ def _deposit_kernel_coherent(
         # ckey values are < 2^24, exact in the f32 channel
         key_chan = data[3 + n_fields : 4 + n_fields, :]
         valid = key_chan == t.astype(jnp.float32)
-        # sub-pixel-only windows run the short K4 column loop (dynamic
-        # trip count; the footprint anchor tracks k_eff)
+        # sub-pixel-only windows/candidates run the short K4 column loop
+        # (dynamic trip count; the footprint anchor tracks k_eff)
         k_eff = (
             jnp.where((word >> 29) & 1 == 0, _K4, cfg.K)
-            if wb_bits
+            if (wb_bits or has_kclass)
             else None
         )
         acc_ref[0] += _chunk_contrib(
@@ -694,7 +719,7 @@ def _deposit_kernel_coherent(
 def _cached_coherent_call(
     cfg, n_tiles, n_steps, n_rows, n_fields, row_bits,
     kernel, support_factor, psx, psy, offset, precision, interpret, projection,
-    wb_bits=0,
+    wb_bits=0, has_kclass=False,
 ):
     W = _CHUNK >> wb_bits
     n_wb = _CHUNK // W
@@ -705,7 +730,7 @@ def _cached_coherent_call(
         return (jnp.clip(row, 0, n_rows - 1), 0, jnp.clip(wb, 0, n_wb - 1))
 
     def out_idx(s, sched):
-        tile_hi = 29 if wb_bits else 30
+        tile_hi = 29 if (wb_bits or has_kclass) else 30
         shift = row_bits + wb_bits
         t = (sched[s] >> shift) & ((1 << (tile_hi - shift)) - 1)
         return (jnp.clip(t, 0, n_tiles - 1), 0, 0)
@@ -719,6 +744,7 @@ def _cached_coherent_call(
     kern = partial(
         _deposit_kernel_coherent,
         cfg=cfg, C=W, n_fields=n_fields, row_bits=row_bits, wb_bits=wb_bits,
+        has_kclass=has_kclass,
         kernel_name=kernel, support_factor=support_factor, psx=psx, psy=psy,
         offset=offset, precision=precision, projection=projection,
         cheb=(
@@ -762,19 +788,25 @@ def _tile_steps(cand_tile, n_tiles: int, n_steps: int, nch_of):
 
 
 def _coherent_schedule(cand_tile, cand_row, n_tiles: int, n_steps: int,
-                       row_bits: int):
-    """Packed (work, tile, row) schedule words over tile-sorted candidates:
-    one whole-row step per candidate."""
+                       row_bits: int, cand_k4=None):
+    """Packed (work, [kclass,] tile, row) schedule words over tile-sorted
+    candidates: one whole-row step per candidate. With ``cand_k4`` the word
+    carries a kclass bit at 29 (0 = every lane of the candidate is
+    sub-pixel, so the step's column loop runs K4 iterations instead of K)."""
     cstart, _, tile_c, j_in, work = _tile_steps(
         cand_tile, n_tiles, n_steps, lambda cs, ce: ce - cs
     )
     ci = jnp.clip(cstart[tile_c] + j_in, 0, cand_tile.shape[0] - 1)
     row = jnp.where(work, cand_row[ci], 0)
-    return (
+    word = (
         (work.astype(jnp.int32) << 30)
         | (tile_c << row_bits)
         | row
-    ).astype(jnp.int32)
+    )
+    if cand_k4 is not None:
+        kcls = jnp.where(work & (cand_k4[ci] == 1), 0, 1)
+        word = word | (kcls << 29)
+    return word.astype(jnp.int32)
 
 
 def _coherent_schedule_windows(
@@ -813,7 +845,7 @@ def _coherent_schedule_windows(
 
 def _coherent_body(
     packed, cand_tile, cand_row, tail, tail_los, tail_counts,
-    cand_win=(),
+    cand_win=(), cand_k4=None,
     *,
     geom0, shape, extent, periodic, offset, n_fields,
     kernel, support_factor, precision, interpret, projection,
@@ -832,6 +864,7 @@ def _coherent_body(
         n_tiles = geom0.n_tiles
         row_bits = max(1, (max(1, n_rows - 1)).bit_length())
         tile_bits = max(1, n_tiles.bit_length())
+        has_kclass = False
         if window:
             wb_bits = (_CHUNK // window).bit_length() - 1
             if row_bits + tile_bits + wb_bits > 29:
@@ -852,14 +885,20 @@ def _coherent_body(
                     "coherent schedule word overflow (particle count x tile "
                     "count too large); use the sorted engine"
                 )
+            # per-candidate kclass needs a free bit at 29; when the word is
+            # too tight every step falls back to the full-K column loop
+            has_kclass = (
+                cand_k4 is not None and row_bits + tile_bits <= 29
+            )
             n_steps = b0 + n_tiles
             sched = _coherent_schedule(
-                cand_tile, cand_row, n_tiles, n_steps, row_bits
+                cand_tile, cand_row, n_tiles, n_steps, row_bits,
+                cand_k4 if has_kclass else None,
             )
         tiles = _cached_coherent_call(
             cfg, n_tiles, n_steps, n_rows, n_fields, row_bits,
             kernel, support_factor, psx, psy, offset, precision, interpret,
-            projection, wb_bits,
+            projection, wb_bits, has_kclass,
         )(sched, packed)
         total = total + _overlap_add(
             tiles, cfg, tx, geom0.n_tiles_y, geom0.n_tiles_x, n_fields,
@@ -884,10 +923,10 @@ def _cached_coherent_render(
     tail_metas_static, has_tail, window=0, b0w=0,
 ):
     def run(packed, cand_tile, cand_row, tail, tail_los, tail_counts,
-            cand_win):
+            cand_win, cand_k4):
         return _coherent_body(
             packed, cand_tile, cand_row, tail if has_tail else None,
-            tail_los, tail_counts, cand_win,
+            tail_los, tail_counts, cand_win, cand_k4,
             geom0=geom0, shape=shape, extent=extent, periodic=periodic,
             offset=offset, n_fields=n_fields, kernel=kernel,
             support_factor=support_factor, precision=precision,
@@ -937,6 +976,7 @@ def deposit_coherent(
         layout.cand_row if b0 else jnp.zeros((1,), jnp.int32),
         tail, los, cnts,
         layout.cand_win if (b0 and layout.window) else (),
+        layout.cand_k4 if b0 else None,
     )
 
     if layout.n_tail_oversize:
@@ -1072,7 +1112,7 @@ def _fused_coherent_body(
             n_fields=n_fields, n_levels=n_levels, bases=bases, d_max=d_max,
             n_rows=n_rows, C=C,
         )
-    packed, sk, sr, tail_eff, rows_by_bucket, counts = outs[:6]
+    packed, sk, sr, sk4, tail_eff, rows_by_bucket, counts = outs[:7]
     n_buckets = len(_TAIL_BUCKETS)
     n_cand = counts[0]
     nbs = counts[3 : 3 + n_buckets]
@@ -1102,8 +1142,11 @@ def _fused_coherent_body(
         cand_row = jnp.where(
             live, jax.lax.dynamic_slice(sr, (0,), (b0,)), 0
         ).astype(jnp.int32)
+        cand_k4 = jnp.where(
+            live, jax.lax.dynamic_slice(sk4, (0,), (b0,)), 0
+        ).astype(jnp.int32)
     else:
-        cand_tile = cand_row = None
+        cand_tile = cand_row = cand_k4 = None
 
     tail = None
     tail_los = tail_cnts = jnp.zeros((1,), jnp.int32)
@@ -1147,7 +1190,7 @@ def _fused_coherent_body(
 
     total = _coherent_body(
         packed, cand_tile, cand_row, tail if metas_static else None,
-        tail_los, tail_cnts,
+        tail_los, tail_cnts, cand_k4=cand_k4,
         geom0=geoms_sel[0], shape=shape, extent=extent, periodic=periodic,
         offset=offset, n_fields=n_fields, kernel=kernel,
         support_factor=support_factor, precision=precision,

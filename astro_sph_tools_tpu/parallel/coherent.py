@@ -260,15 +260,15 @@ def deposit_2d_coherent_sharded(
     shmap = partial(jax.shard_map, mesh=mesh, check_vma=False)
 
     def _run_a_local(xs, ys, hs, vs):
-        outs = stage_a(xs, ys, hs, vs)  # xla prep adds a 7th (window) output
-        packed, sk, sr, tail_eff, rows_by_bucket, counts = outs[:6]
-        return packed, sk, sr, tail_eff, rows_by_bucket, counts[None]
+        outs = stage_a(xs, ys, hs, vs)  # xla prep adds an 8th (window) output
+        packed, sk, sr, sk4, tail_eff, rows_by_bucket, counts = outs[:7]
+        return packed, sk, sr, sk4, tail_eff, rows_by_bucket, counts[None]
 
     run_a = shmap(
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(None, axis_name)),
         out_specs=(
             P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-            P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name), P(axis_name),
         ),
     )(_run_a_local)
 
@@ -276,7 +276,9 @@ def deposit_2d_coherent_sharded(
     y = jnp.asarray(y, jnp.float32)
     h = jnp.asarray(h, jnp.float32)
     values = jnp.asarray(values, jnp.float32)
-    packed, sk, sr, tail_eff, rows_by_bucket, counts_all = run_a(x, y, h, values)
+    packed, sk, sr, sk4, tail_eff, rows_by_bucket, counts_all = run_a(
+        x, y, h, values
+    )
 
     # the ONLY host sync: (n_dev, 3 + n_buckets + n_levels + 1) —
     # candidate/heavy/bucket counts AND per-level routed-tail counts
@@ -384,23 +386,27 @@ def deposit_2d_coherent_sharded(
         tail_metas_static=metas_static,
     )
 
-    def _run_c_local(packed_l, sk_l, sr_l, ncand_l, tail_l, los_l, cnts_l):
+    def _run_c_local(packed_l, sk_l, sr_l, sk4_l, ncand_l, tail_l, los_l,
+                     cnts_l):
         if b0:
             live = jnp.arange(b0, dtype=jnp.int32) < ncand_l.reshape(())
             cand_tile = jnp.where(live, sk_l[:b0], n_tiles0).astype(jnp.int32)
             cand_row = jnp.where(live, sr_l[:b0], 0).astype(jnp.int32)
+            cand_k4 = jnp.where(live, sk4_l[:b0], 0).astype(jnp.int32)
         else:
-            cand_tile = cand_row = None
+            cand_tile = cand_row = cand_k4 = None
         total = body(
             packed_l, cand_tile, cand_row,
             tail_l if metas_static else None,
             los_l.reshape(-1), cnts_l.reshape(-1),
+            cand_k4=cand_k4,
         )
         return jax.lax.psum(total, axis_name)
 
     run_c = shmap(
         in_specs=(
             P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name),
             (P(axis_name), P(axis_name), P(axis_name), P(axis_name, None), P(axis_name)),
             P(axis_name, None), P(axis_name, None),
         ),
@@ -408,7 +414,7 @@ def deposit_2d_coherent_sharded(
     )(_run_c_local)
 
     total = run_c(
-        packed, sk, sr, jnp.asarray(cvec[:, 0].astype(np.int32)),
+        packed, sk, sr, sk4, jnp.asarray(cvec[:, 0].astype(np.int32)),
         (tu, tv, th, t_values, t_tile),
         jnp.asarray(tail_los), jnp.asarray(tail_cnts),
     )

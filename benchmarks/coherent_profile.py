@@ -119,6 +119,19 @@ def main() -> int:
         args.repeats,
     )
     res["deposit_s"] = round(best, 4)
+    if tp.cand_k4 is not None:
+        import dataclasses
+
+        res["k4_candidates"] = int(np.asarray(tp.cand_k4).sum())
+        tp_off = dataclasses.replace(tp, cand_k4=None)
+        deposit_coherent(tp_off, precision="bf16x2")  # warm
+        best, _ = _timed(
+            lambda: deposit_coherent(tp_off, precision="bf16x2"),
+            lambda o: float(o[0].sum()),
+            args.repeats,
+        )
+        res["deposit_kclass_off_s"] = round(best, 4)
+        del tp_off
     del tp
 
     # ---- stage A standalone (the jitted program the layout actually runs) ----
@@ -150,7 +163,7 @@ def main() -> int:
     fn()  # warm
     best, outs = _timed(fn, close, args.repeats)
     res["stage_a_s"] = round(best, 4)
-    counts = np.asarray(outs[5])
+    counts = np.asarray(outs[6])
     res["counts"] = {"n_cand": int(counts[0]), "n_heavy": int(counts[1]),
                      "n_tail": int(counts[2])}
     del outs
@@ -240,7 +253,7 @@ def main() -> int:
     )
 
     outs = stage_a(x, y, h, fields)
-    packed, _sk, _sr, tail_eff, rows_by_bucket, counts_d = outs[:6]
+    packed, _sk, _sr, _sk4, tail_eff, rows_by_bucket, counts_d = outs[:7]
     t0 = time.perf_counter()
     cvec = np.asarray(counts_d)
     res["sync1_s"] = round(time.perf_counter() - t0, 4)
@@ -308,6 +321,21 @@ def main() -> int:
     )
     res["deposit_no_tail_s"] = round(best, 4)
     res["no_tail_candidates"] = int(tp0.stats["n_candidates"])
+    # kclass A/B: same layout with the per-candidate K4 classification
+    # stripped (every step runs the full-K column loop)
+    import dataclasses
+
+    if tp0.cand_k4 is not None:
+        res["no_tail_k4_candidates"] = int(np.asarray(tp0.cand_k4).sum())
+        tp0_off = dataclasses.replace(tp0, cand_k4=None)
+        deposit_coherent(tp0_off, precision="bf16x2")  # warm
+        best, _ = _timed(
+            lambda: deposit_coherent(tp0_off, precision="bf16x2"),
+            lambda o: float(o[0].sum()),
+            args.repeats,
+        )
+        res["deposit_no_tail_kclass_off_s"] = round(best, 4)
+        del tp0_off
     del tp0, out0
 
     tiles0 = jax.random.normal(

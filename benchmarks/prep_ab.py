@@ -93,7 +93,7 @@ def main() -> int:
     for name, fn in engines.items():
         t0 = time.perf_counter()
         outs = fn(x, y, h, fields)
-        cv = np.asarray(outs[5])
+        cv = np.asarray(outs[6])
         res[f"warm_{name}_s"] = round(time.perf_counter() - t0, 3)
         counts[name] = cv
         best = 1e30
@@ -101,7 +101,7 @@ def main() -> int:
             del outs
             t0 = time.perf_counter()
             outs = fn(x, y, h, fields)
-            _ = np.asarray(outs[5])
+            _ = np.asarray(outs[6])
             best = min(best, time.perf_counter() - t0)
         res[f"{name}_stage_a_s"] = round(best, 4)
         del outs
@@ -115,13 +115,13 @@ def main() -> int:
             _TAIL_BUCKETS, RB=rb,
         )
         outs = fn(x, y, h, fields)
-        _ = np.asarray(outs[5])
+        _ = np.asarray(outs[6])
         best = 1e30
         for _ in range(args.repeats):
             del outs
             t0 = time.perf_counter()
             outs = fn(x, y, h, fields)
-            _ = np.asarray(outs[5])
+            _ = np.asarray(outs[6])
             best = min(best, time.perf_counter() - t0)
         res[f"pallas_rb{rb}_s"] = round(best, 4)
         del outs

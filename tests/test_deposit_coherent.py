@@ -296,6 +296,59 @@ class TestWindowSchedule:
         )
         assert np.abs(img - ref).max() / max(np.abs(ref).max(), 1e-30) < 1e-6
 
+    def test_k4_bound_mirrors_prep_module(self):
+        """The Pallas prep mirrors deposit_coherent's K4 classification
+        bound (kept as a literal to avoid import-order coupling)."""
+        import importlib
+
+        cp = importlib.import_module(
+            "astro_sph_tools_tpu.ops.coherent_prep_pallas"
+        )
+        dc = importlib.import_module(
+            "astro_sph_tools_tpu.ops.deposit_coherent"
+        )
+        assert cp._K4_MAX_S == dc._K4_MAX_S
+
+    @pytest.mark.parametrize("prep", ["xla", "pallas"])
+    def test_whole_row_kclass_mixed_candidates(self, rng, prep):
+        """Whole-row schedule with per-candidate kclass: engineered rows
+        holding both all-sub-pixel candidates (K4 steps) and candidates
+        with one wide lane (full-K steps) must stay exact vs the oracle
+        and vs a layout with the classification disabled."""
+        import importlib
+
+        dc = importlib.import_module(
+            "astro_sph_tools_tpu.ops.deposit_coherent"
+        )
+        from astro_sph_tools_tpu.ops.deposit_pallas import _CHUNK
+
+        box = 10.0
+        spec = MapSpec(shape=(128, 128), extent=(0, box, 0, box), periodic_wrap=True)
+        px = box / 128
+        n = 8 * _CHUNK
+        x, y, h, m = _coherent_set(rng, n, box, px, h_sigma=0.0)
+        h = np.full(n, 0.3 * px, np.float32)  # sub-pixel baseline (K4)
+        # odd rows get a single wide-but-level-0 lane per tile-key group:
+        # s_pix just over the K4 bound but inside the K=8 level
+        for r in range(1, 8, 2):
+            h[r * _CHUNK : (r + 1) * _CHUNK : 97] = 0.7 * px
+        fields = np.stack([m])
+        lay = tile_particles_coherent(x, y, h, fields, spec, prep=prep)
+        assert lay.cand_k4 is not None
+        k4_live = int(np.asarray(lay.cand_k4).sum())  # pads carry 0
+        assert 0 < k4_live < lay.n_cand  # both classes present
+        img = np.asarray(deposit_coherent(lay, precision="f32"))
+        # same layout, classification stripped -> every step runs full K
+        import dataclasses
+
+        lay_off = dataclasses.replace(lay, cand_k4=None)
+        ref = np.asarray(deposit_coherent(lay_off, precision="f32"))
+        assert np.abs(img - ref).max() / np.abs(ref).max() < 1e-6
+        oracle = np.asarray(
+            deposit_2d_auto(x, y, h, fields, spec, precision="f32")
+        )
+        assert np.abs(img - oracle).max() / np.abs(oracle).max() < 5e-6
+
     def test_window_stats_and_validation(self, rng):
         box = 10.0
         spec = MapSpec(shape=(64, 64), extent=(0, box, 0, box), periodic_wrap=True)
