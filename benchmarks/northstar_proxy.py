@@ -122,7 +122,7 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
 
 
 def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
-        prep=None, window: int = 0) -> dict:
+        prep=None, window: int = 0, caps_slack: float = 1.3) -> dict:
     import jax
 
     jax.config.update(
@@ -161,7 +161,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         )
 
         lay = tile_particles_coherent(x, y, h, fields, spec, donate=True, prep=prep)
-        caps = caps_from_layout(lay)
+        caps = caps_from_layout(lay, slack=caps_slack)
         level_counts = dict(lay.stats)
         n_oversize = int(lay.n_tail_oversize)
         del lay
@@ -195,6 +195,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
             "order": order,
             "engine": engine,
             "prep": prep,
+            "caps_slack": caps_slack,
             "wall_s": round(wall, 4),
             "budget_s": BUDGET_S,
             "pass": bool(wall < BUDGET_S and n >= 1.25e8),
@@ -302,12 +303,14 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--prep", choices=("pallas", "xla"), default=None)
     ap.add_argument("--window", type=int, default=0)
+    ap.add_argument("--caps-slack", type=float, default=1.3)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     orders = ("morton", "random") if args.order == "both" else (args.order,)
     results = [
-        run(args.n, o, args.repeats, args.engine, args.prep, args.window)
+        run(args.n, o, args.repeats, args.engine, args.prep, args.window,
+            args.caps_slack)
         for o in orders
     ]
     payload = results[0] if len(results) == 1 else {**results[0], "random_order": results[1]}
