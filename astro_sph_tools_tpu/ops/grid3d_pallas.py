@@ -262,11 +262,13 @@ def _overlap_add_3d(
 ) -> Array:
     RZ, RY, TZ, TY, M = cfg.RZ, cfg.RY, cfg.TZ, cfg.TY, cfg.M
     per_x, per_y, per_z = periodic
-    t = tiles.reshape(ntz, nty, ntx, n_fields, RZ, RY, cfg.S)
-    t = t[..., : tx + 2 * M]  # drop lane padding
-    t = t.transpose(3, 0, 1, 2, 4, 5, 6)  # (F, ntz, nty, ntx, RZ, RY, SX)
-
-    img = jnp.zeros((n_fields, ntz, TZ, nty, TY, ntx, tx), dtype=tiles.dtype)
+    SX = tx + 2 * M
+    # z-major tile layout: one z-row of tiles at a time. Materializing the
+    # full halo'd stack as one 7D transpose + 27 band copies OOM'd at 512^3
+    # on the K=16 level (halo ratio (RZ/TZ)(RY/TY)(SX/tx) ~ 7.5x the grid;
+    # the transpose temp alone was 6 GB padded). Per-z-row slabs bound the
+    # overlap-add temps at nty*ntx*F*RZ*RY*SX elements (~tens of MB).
+    t_all = tiles.reshape(ntz, nty, ntx, n_fields, RZ, RY, cfg.S)
 
     def shift(a, axis, p, wrap):
         if p == 0:
@@ -283,21 +285,40 @@ def _overlap_add_3d(
             idx[axis] = slice(-p, a.shape[axis] - p)
         return jnp.pad(a, pad)[tuple(idx)]
 
-    for z0, zh, zps, zoff in _bands(M, TZ):
+    # overlap in z is a plain additive scatter of each z-row's RZ extended
+    # planes at global offset iz*TZ - M (mod nz when periodic; RZ > nz folds
+    # duplicate rows correctly through the add-scatter). Non-periodic
+    # out-of-range planes divert to a sentinel row (negative indices would
+    # wrap under JAX indexing, so `mode="drop"` alone is not enough).
+    nzp = nz if per_z else nz + 1
+
+    def body(iz, img):
+        blk = jax.lax.dynamic_slice_in_dim(t_all, iz, 1, 0)[0]
+        blk = blk[..., :SX]  # (nty, ntx, F, RZ, RY, SX) lane pad dropped
+        blk = blk.transpose(2, 3, 0, 4, 1, 5)  # (F, RZ, nty, RY, ntx, SX)
+        slab = jnp.zeros(
+            (n_fields, RZ, nty, TY, ntx, tx), dtype=tiles.dtype
+        )
         for y0, yh, yps, yoff in _bands(M, TY):
             for x0, xw, xps, xoff in _bands(M, tx):
-                band = t[:, :, :, :, z0 : z0 + zh, y0 : y0 + yh, x0 : x0 + xw]
-                band = shift(band, 1, zps, per_z)
+                band = blk[:, :, :, y0 : y0 + yh, :, x0 : x0 + xw]
                 band = shift(band, 2, yps, per_y)
-                band = shift(band, 3, xps, per_x)
-                # (F, ntz, zh, nty, yh, ntx, xw)
-                band = band.transpose(0, 1, 4, 2, 5, 3, 6)
-                img = img.at[
-                    :, :, zoff : zoff + zh, :, yoff : yoff + yh, :, xoff : xoff + xw
+                band = shift(band, 4, xps, per_x)
+                slab = slab.at[
+                    :, :, :, yoff : yoff + yh, :, xoff : xoff + xw
                 ].add(band)
+        slab = slab.reshape(n_fields, RZ, nty * TY, ntx * tx)[:, :, :ny, :nx]
+        zrows = iz * TZ - M + jnp.arange(RZ)
+        if per_z:
+            zrows = jnp.mod(zrows, nz)
+        else:
+            zrows = jnp.where((zrows >= 0) & (zrows < nz), zrows, nz)
+        return img.at[:, zrows, :, :].add(slab)
 
-    img = img.reshape(n_fields, ntz * TZ, nty * TY, ntx * tx)
-    return img[:, :nz, :ny, :nx]
+    img = jax.lax.fori_loop(
+        0, ntz, body, jnp.zeros((n_fields, nzp, ny, nx), dtype=tiles.dtype)
+    )
+    return img[:, :nz]
 
 
 def _choose_tx_3d(cfg: Pallas3DConfig, nx: int, periodic: bool) -> int:
