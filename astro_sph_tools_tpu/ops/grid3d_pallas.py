@@ -96,12 +96,25 @@ PALLAS_3D_LEVELS: tuple[Pallas3DConfig, ...] = (
 )
 
 _SMEM_BUDGET_BYTES = 768 * 1024  # headroom under the ~1 MiB SMEM
+# cap on one level's halo'd tile-stack (the Pallas output, overlap-added
+# afterwards): at 512^3 the K=8/K=16 stacks at base tile heights reach
+# 4.3/6.4 GB ((RZ/TZ)(RY/TY)(S/tx) halo ratios of 4.5-7.5x the grid) and
+# the all-levels program exhausted the 15.75 GB HBM at runtime. Growing
+# TZ/TY divides the stack (fewer, taller tiles amortise the halo) at the
+# price of more VPU work per particle at that level — paid only by the
+# big-grid levels that would otherwise not run at all.
+_HBM_STACK_BUDGET_BYTES = 3584 * 2**20
 
 
 def _smem_table_bytes_3d(n_tiles: int, n_rows_bound: int) -> int:
     """int32 bytes of the scalar-prefetch operands for one level pass:
     sched (n_rows + 2*n_tiles words) + 4 per-tile tables."""
     return 4 * (n_rows_bound + 6 * n_tiles)
+
+
+def _hbm_stack_bytes_3d(g: "_Geometry3D", n_fields: int) -> int:
+    """f32 bytes of one level's (n_tiles, F*R, S) halo'd tile stack."""
+    return 4 * g.n_tiles * n_fields * g.cfg.R * g.cfg.S
 
 
 
@@ -368,8 +381,10 @@ def _adapt_cfg_3d(
     spec_shape,
     periodic: tuple[bool, bool, bool],
     n_rows_bound: int,
+    n_fields: int = 1,
 ) -> Pallas3DConfig:
-    """Grow a level's tile heights until its scalar-prefetch tables fit SMEM.
+    """Grow a level's tile heights until its scalar-prefetch tables fit
+    SMEM and its halo'd tile stack fits the HBM budget.
 
     Doubling TZ/TY divides the tile count by 2 without changing level
     assignment (``max_s_vox`` depends only on K), so adapted geometry is a
@@ -387,7 +402,12 @@ def _adapt_cfg_3d(
             g = None
         if g is not None:
             best = cand
-            if _smem_table_bytes_3d(g.n_tiles, n_rows_bound) <= _SMEM_BUDGET_BYTES:
+            if (
+                _smem_table_bytes_3d(g.n_tiles, n_rows_bound)
+                <= _SMEM_BUDGET_BYTES
+                and _hbm_stack_bytes_3d(g, n_fields)
+                <= _HBM_STACK_BUDGET_BYTES
+            ):
                 return cand
         if tz >= 64 and ty >= 64:
             return best if best is not None else cfg
@@ -536,7 +556,8 @@ def deposit_3d_pallas(
         interpret = jax.default_backend() != "tpu"
     periodic = (spec.periodic_wrap,) * 3
     n_rows_bound = max(_CHUNK, _next_pow2(int(pos.shape[0]))) // _CHUNK
-    cfg = _adapt_cfg_3d(cfg, spec.shape, periodic, n_rows_bound)
+    nf = 1 if np.ndim(values) == 1 else int(np.shape(values)[0])
+    cfg = _adapt_cfg_3d(cfg, spec.shape, periodic, n_rows_bound, nf)
     geom = _geometry_3d(cfg, spec.shape, periodic)
 
     pos = jnp.asarray(pos, jnp.float32)
@@ -698,7 +719,7 @@ def tile_particles_3d(
     n = int(pos.shape[0])
     n_bucket = max(_CHUNK, _next_pow2(n))
     levels = tuple(
-        _adapt_cfg_3d(cfg, spec.shape, periodic, n_bucket // _CHUNK)
+        _adapt_cfg_3d(cfg, spec.shape, periodic, n_bucket // _CHUNK, n_fields)
         for cfg in levels
     )
     geoms: list[Optional[_Geometry3D]] = []
