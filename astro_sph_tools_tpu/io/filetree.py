@@ -171,7 +171,7 @@ class TaggedFileSet(Generic[T]):
     def get_by_number(self, number: str) -> FileSetLeaf:
         if number not in self._by_number:
             raise KeyError(
-                f'{self._kind.title()} number "{number}" not avalible '
+                f'{self._kind.title()} number "{number}" not available '
                 "(make sure the input datatype is a string)."
             )
         return self._by_number[number]
@@ -181,7 +181,7 @@ class TaggedFileSet(Generic[T]):
 
     def get_by_tag(self, tag: str) -> FileSetLeaf:
         if tag not in self._by_tag:
-            raise KeyError(f'{self._kind.title()} tag "{tag}" not avalible.')
+            raise KeyError(f'{self._kind.title()} tag "{tag}" not available.')
         return self._by_tag[tag]
 
     def get_by_redshift(self, redshift: float) -> FileSetLeaf:
@@ -199,7 +199,7 @@ class TaggedFileSet(Generic[T]):
         if prior.sum() == 0:
             raise FileNotFoundError(
                 f"Unable to find search data for a file with a redshift of (or "
-                f"exceding) {redshift}.\nThe first file has a redshift of {redshifts[0]}."
+                f"exceeding) {redshift}.\nThe first file has a redshift of {redshifts[0]}."
             )
         selected = redshifts[prior][-1]
         if (redshift >= 1.0 and redshift - selected > 0.5) or (
@@ -207,7 +207,7 @@ class TaggedFileSet(Generic[T]):
         ):
             print_verbose_warning(
                 f"Attempted to find data at z={redshift} but only managed to "
-                f"retrive data for z=~{selected}."
+                f"retrieve data for z=~{selected}."
             )
         return str(numbers[prior][-1])
 
@@ -398,7 +398,7 @@ class _NumberedFileSet(TaggedFileSet):
         if prior.sum() == 0:
             raise FileNotFoundError(
                 f"Unable to find search data for a file with a redshift of (or "
-                f"exceding) {redshift}.\nThe first file has a redshift of {redshifts[0]}."
+                f"exceeding) {redshift}.\nThe first file has a redshift of {redshifts[0]}."
             )
         selected = redshifts[prior][-1]
         if (redshift >= 1.0 and redshift - selected > 0.5) or (
@@ -406,7 +406,7 @@ class _NumberedFileSet(TaggedFileSet):
         ):
             print_verbose_warning(
                 f"Attempted to find data at z={redshift} but only managed to "
-                f"retrive data for z=~{selected}."
+                f"retrieve data for z=~{selected}."
             )
         return str(numbers[prior][-1])
 

@@ -68,6 +68,17 @@ class SyntheticSnapshotSpec:
     clustered: bool = False  # add Gaussian blobs over the uniform background
     solar_metallicity: float = 0.012663729
     n_groups: int = 8  # FOF groups for GroupNumber / catalogue files
+    #: sort each type by Morton key of position before splitting into files,
+    #: mimicking the Peano-Hilbert-ordered storage of real EAGLE outputs
+    #: (pyread_eagle hash cells, `_SnapshotEAGLE.py:115-130`) — what makes
+    #: the reader's spatial block index prune effectively
+    spatial_order: bool = False
+    #: write NumPart_Total as the uint32 low word plus the
+    #: NumPart_Total_HighWord attr, as real EAGLE headers do
+    numpart_highword: bool = False
+    #: override the header totals (e.g. to fake a >2^32 count without
+    #: writing that many particles); int64 per-slot values
+    numpart_total_override: Optional[tuple] = None
 
     @property
     def expansion_factor(self) -> float:
@@ -167,7 +178,43 @@ def generate_particles(spec: SyntheticSnapshotSpec) -> SyntheticParticles:
         for sym in ("C", "N", "O", "Ne", "Mg", "Si", "Fe"):
             ab[sym] = out.metallicity[pt] * rng.uniform(0.01, 0.3, n)
         out.abundances[pt] = ab
+    if spec.spatial_order:
+        _sort_spatially(out, box)
     return out
+
+
+def _morton_key_3d(pos: np.ndarray, box: float, bits: int = 7) -> np.ndarray:
+    """Morton (z-order) key of each position on a 2^bits cell grid."""
+    cell = np.clip(
+        (pos / box * (1 << bits)).astype(np.int64), 0, (1 << bits) - 1
+    )
+    key = np.zeros(pos.shape[0], dtype=np.int64)
+    for b in range(bits):
+        for ax in range(3):
+            key |= ((cell[:, ax] >> b) & 1) << (3 * b + (2 - ax))
+    return key
+
+
+def _sort_spatially(p: SyntheticParticles, box: float) -> None:
+    """Reorder every per-type array by Morton key of position (in place)."""
+    for pt in list(p.positions):
+        order = np.argsort(
+            _morton_key_3d(p.positions[pt], box), kind="stable"
+        )
+        for d in (p.positions, p.velocities, p.masses, p.smoothing, p.ids,
+                  p.group_numbers, p.metallicity, p.enrichment_z):
+            if pt in d:
+                d[pt] = d[pt][order]
+        if pt in p.abundances:
+            p.abundances[pt] = {
+                sym: arr[order] for sym, arr in p.abundances[pt].items()
+            }
+        if pt == ParticleType.gas:
+            p.density = p.density[order]
+            p.temperature = p.temperature[order]
+            p.sfr = p.sfr[order]
+        if pt == ParticleType.black_hole and p.bh_subgrid_mass is not None:
+            p.bh_subgrid_mass = p.bh_subgrid_mass[order]
 
 
 def write_snapshot(
@@ -224,7 +271,20 @@ def write_snapshot(
             hdr.attrs["ExpansionFactor"] = a
             hdr.attrs["OmegaBaryon"] = spec.omega_baryon
             hdr.attrs["Omega0"] = 0.307
-            hdr.attrs["NumPart_Total"] = num_part_total
+            totals = (
+                num_part_total
+                if spec.numpart_total_override is None
+                else np.asarray(spec.numpart_total_override, dtype=np.int64)
+            )
+            if spec.numpart_highword:
+                hdr.attrs["NumPart_Total"] = (
+                    totals & np.int64(0xFFFFFFFF)
+                ).astype(np.uint32)
+                hdr.attrs["NumPart_Total_HighWord"] = (totals >> 32).astype(
+                    np.uint32
+                )
+            else:
+                hdr.attrs["NumPart_Total"] = totals
             hdr.attrs["NumPart_ThisFile"] = _num_this_file(splits, fi)
             hdr.attrs["NumFilesPerSnapshot"] = spec.n_files
             mass_table = np.zeros(6, dtype=np.float64)

@@ -16,152 +16,226 @@ vs_baseline is measured against the north-star requirement of
 1e9 particles -> 1024^2 maps in < 2 s on a v5e-8, i.e. 6.25e7
 particle-deposits/sec *per chip* (BASELINE.md; the reference itself
 publishes no numbers).
+
+Wedge-proofing (VERDICT r3 item 1): the axon TPU tunnel wedges/restarts
+spontaneously and a wedged device HANGS the process that touched it
+rather than raising. This parent process therefore NEVER touches the
+device: probes and the measurement itself run in killable subprocesses
+under hard timeouts, the whole script is bounded by one global deadline,
+and on any failure the last-known-good measurement (checked-in
+BENCH_CACHE.json) is emitted stamped ``"stale": true``. `python bench.py`
+always prints a parseable JSON line and exits 0 within ~10 minutes.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_PATH = os.path.join(_REPO, "BENCH_CACHE.json")
+
 NORTH_STAR_DEPOSITS_PER_SEC_PER_CHIP = 1.0e9 / 2.0 / 8.0
 
-
-class _BenchTimeout(Exception):
-    pass
-
-
-_MAX_ATTEMPTS = 4
-_PROBE_TRIES = 16  # ~75 min of tunnel-recovery patience before attempt 1
-_PROBE_SLEEP = 240
+# Global wall budget for the whole script. The driver's own timeout is
+# unknown but round-3 evidence (BENCH_r03.json) shows it above ~12 min;
+# finishing in under ~10 keeps a safety margin.
+_DEADLINE_S = 560.0
+_T_END = time.monotonic() + _DEADLINE_S
 
 
-def _device_probe_ok(timeout_s: int = 90) -> bool:
-    """Run a trivial device op in a SUBPROCESS. A wedged axon tunnel hangs
-    (or poisons) the process that touched it, so the probe must never share
-    a process with the real run."""
-    import subprocess
+def _remaining() -> float:
+    return _T_END - time.monotonic()
 
+
+def _emit(obj: dict) -> "NoReturn":  # noqa: F821 - py3.12 has NoReturn
+    sys.stdout.write(json.dumps(obj) + "\n")
+    sys.stdout.flush()
+    raise SystemExit(0)
+
+
+def _load_cache() -> dict | None:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _probe(timeout_s: float) -> str | None:
+    """Trivial device op in a subprocess; returns the backend name or None.
+    A wedged tunnel hangs (or poisons) the process that touched it, so the
+    probe must never share a process with this parent."""
     try:
         r = subprocess.run(
             [
                 sys.executable,
                 "-c",
-                "import jax, jax.numpy as jnp; print(float(jnp.arange(4).sum()))",
+                "import jax, jax.numpy as jnp;"
+                "jnp.arange(4).sum().block_until_ready();"
+                "print('BACKEND=' + jax.default_backend())",
             ],
+            timeout=max(5.0, timeout_s),
+            capture_output=True,
+            text=True,
+            cwd=_REPO,
+        )
+    except Exception:
+        return None
+    if r.returncode != 0:
+        return None
+    for line in r.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            return line.split("=", 1)[1].strip()
+    return None
+
+
+def _run_worker(args: list[str], timeout_s: float) -> dict | None:
+    """Run `bench.py --worker ...` in a killable subprocess; parse the last
+    JSON line of its stdout."""
+    if timeout_s < 30:
+        return None
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", *args],
             timeout=timeout_s,
             capture_output=True,
+            text=True,
+            cwd=_REPO,
         )
-        return r.returncode == 0
     except Exception:
-        return False
+        return None
+    if r.returncode != 0:
+        sys.stderr.write(
+            f"bench worker rc={r.returncode}: {r.stderr[-800:]}\n"
+        )
+        return None
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except Exception:
+                continue
+            if "value" in obj:
+                return obj
+    return None
 
 
 def main() -> None:
-    # The axon TPU tunnel wedges/restarts spontaneously (recoveries observed
-    # between ~2 minutes and multiple hours); a wedged device HANGS rather
-    # than raising, and a process that touched a wedged device can stay
-    # poisoned after the tunnel recovers. Insurance, in order:
-    #   1. subprocess probes (cheap, parent never touches the device) until
-    #      the tunnel answers, before committing to the expensive attempt;
-    #   2. the attempt itself under a SIGALRM watchdog — the first
-    #      in-process warm-up of the 1.34e8-particle pipeline costs minutes
-    #      (per-process program preparation) even with a hot compile cache,
-    #      hence the generous alarm;
-    #   3. on failure, RE-EXEC this script (fresh process, fresh runtime)
-    #      rather than retrying in the poisoned one.
-    import signal
+    cache = _load_cache()
 
-    attempt = int(os.environ.get("AST_BENCH_ATTEMPT", "1"))
-
-    for i in range(_PROBE_TRIES):
-        if _device_probe_ok():
+    # 1. Wait (briefly) for the tunnel to answer. Total probe budget is
+    #    bounded — round 3 died waiting 4 min between probes.
+    backend = None
+    for i in range(3):
+        backend = _probe(timeout_s=45)
+        if backend is not None:
             break
-        sys.stderr.write(f"bench: device probe {i + 1} wedged; waiting\n")
-        time.sleep(_PROBE_SLEEP)
-    # fall through even if every probe failed: the CPU smoke path (or a
-    # late tunnel recovery) may still produce a result under the watchdog
+        sys.stderr.write(f"bench: device probe {i + 1} failed\n")
+        time.sleep(10)
 
-    def _alarm(signum, frame):  # pragma: no cover - hardware-path insurance
-        raise _BenchTimeout("bench attempt exceeded watchdog")
+    if backend == "tpu" or backend == "axon":
+        # 2. Full-scale measurement (2^27), bounded.
+        res = _run_worker(["27"], timeout_s=min(_remaining() - 60, 420))
+        if res is not None:
+            try:
+                with open(_CACHE_PATH, "w") as f:
+                    json.dump(res, f, indent=1)
+            except Exception:
+                pass
+            _emit(res)
+        # 3. Reduced-scale fallback: a 2^25 run warms up in a fraction of
+        #    the time and still measures the same adaptive pipeline.
+        res = _run_worker(["25"], timeout_s=_remaining() - 25)
+        if res is not None:
+            res["reduced_scale"] = True
+            _emit(res)
+    elif backend is not None:
+        # CPU-only host (driver smoke environments): tiny instance.
+        res = _run_worker(["cpu-smoke"], timeout_s=min(_remaining() - 20, 240))
+        if res is not None:
+            _emit(res)
 
-    has_alarm = hasattr(signal, "SIGALRM")
-    if has_alarm:
-        signal.signal(signal.SIGALRM, _alarm)
-    try:
-        if has_alarm:
-            signal.alarm(2400)
-        _run()
-        if has_alarm:
-            signal.alarm(0)
-        return
-    except Exception as err:  # pragma: no cover - hardware-path insurance
-        if has_alarm:
-            signal.alarm(0)
-        if attempt >= _MAX_ATTEMPTS:
-            raise
-        sys.stderr.write(
-            f"bench attempt {attempt} failed ({type(err).__name__}); "
-            f"re-execing fresh process\n"
+    # 4. Last-known-good fallback: always print a parseable line.
+    if cache is not None:
+        cache = dict(cache)
+        cache["stale"] = True
+        cache["stale_reason"] = (
+            "device probe or measurement failed within the wall budget; "
+            "value is the last committed successful measurement"
         )
-        time.sleep(120)
-        os.environ["AST_BENCH_ATTEMPT"] = str(attempt + 1)
-        os.execv(
-            sys.executable, [sys.executable, os.path.abspath(__file__)]
-        )
+        _emit(cache)
+    _emit(
+        {
+            "metric": (
+                "adaptive-h particle-deposits/sec, 1024^2 2-field map stack"
+            ),
+            "value": 0.0,
+            "unit": "deposits/sec",
+            "vs_baseline": 0.0,
+            "error": "device unavailable and no cached measurement",
+        }
+    )
 
 
-def _run() -> None:
+def _worker(mode: str) -> None:
+    """Measurement child process (the only process that touches a device)."""
     import jax
 
     jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"),
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_bench_cache")
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
-    from northstar_proxy import run as proxy_run
-
-    if on_tpu:
-        n = 1 << 27  # one chip's share of the 1e9-particle north star
-        res = proxy_run(n, "morton", repeats=3, engine="coherent")
-        rate = res["deposits_per_sec"]
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        "adaptive-h particle-deposits/sec, 1024^2 2-field map "
-                        "stack at 1.34e8 particles (coherent-order fused pallas deposit "
-                        "incl. device layout; realistic Morton-ordered workload)"
-                    ),
-                    "value": rate,
-                    "unit": "deposits/sec",
-                    "vs_baseline": round(
-                        rate / NORTH_STAR_DEPOSITS_PER_SEC_PER_CHIP, 4
-                    ),
-                    "n_particles": res["n_particles"],
-                    "wall_clock_s": res["wall_s"],
-                    "north_star_budget_s": res["budget_s"],
-                    "north_star_pass": res["pass"],
-                    "phase_layout_s": res["phase_layout_s"],
-                    "phase_deposit_s": res["phase_deposit_s"],
-                    "level_counts": res["level_counts"],
-                    "backend": backend,
-                }
-            )
-        )
+    if mode == "cpu-smoke":
+        _cpu_smoke()
         return
 
-    # CPU smoke path: tiny instance of the same workload through the XLA
-    # stencil engine (interpreter-mode Pallas is orders slower)
+    sys.path.insert(0, os.path.join(_REPO, "benchmarks"))
+    from northstar_proxy import run as proxy_run
+
+    n = 1 << int(mode)
+    res = proxy_run(
+        n, "morton", repeats=2, engine="coherent", measure_phases=False
+    )
+    rate = res["deposits_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "adaptive-h particle-deposits/sec, 1024^2 2-field map "
+                    f"stack at {res['n_particles']:.3g} particles "
+                    "(coherent-order fused pallas deposit incl. device "
+                    "layout; realistic Morton-ordered workload)"
+                ),
+                "value": rate,
+                "unit": "deposits/sec",
+                "vs_baseline": round(
+                    rate / NORTH_STAR_DEPOSITS_PER_SEC_PER_CHIP, 4
+                ),
+                "n_particles": res["n_particles"],
+                "wall_clock_s": res["wall_s"],
+                "north_star_budget_s": res["budget_s"],
+                "north_star_pass": res["pass"],
+                "level_counts": res["level_counts"],
+                "backend": res["backend"],
+            }
+        )
+    )
+
+
+def _cpu_smoke() -> None:
+    """Tiny instance of the same workload through the XLA stencil engine
+    (interpreter-mode Pallas is orders slower)."""
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
+    sys.path.insert(0, _REPO)
     from astro_sph_tools_tpu.ops.deposit import MapSpec, deposit_2d_fixed_h
 
     n = 1 << 16
@@ -194,11 +268,14 @@ def _run() -> None:
                 ),
                 "n_particles": n,
                 "wall_clock_s": round(dt, 4),
-                "backend": backend,
+                "backend": jax.default_backend(),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2])
+    else:
+        sys.exit(main())

@@ -122,7 +122,8 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
 
 
 def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
-        prep=None, window: int = 0, caps_slack: float = 1.3) -> dict:
+        prep=None, window: int = 0, caps_slack=None,
+        measure_phases: bool = True) -> dict:
     import jax
 
     jax.config.update(
@@ -257,6 +258,8 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         _ = float(out[0].sum())
         wall = min(wall, time.perf_counter() - t0)
 
+        if not measure_phases:
+            continue
         del tp
         x, y, h, fields = gen()
         t0 = time.perf_counter()
@@ -282,8 +285,8 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         "budget_s": BUDGET_S,
         "pass": bool(wall < BUDGET_S and n >= 1.25e8),
         "deposits_per_sec": round(n / wall, 1),
-        "phase_layout_s": round(phase_layout, 4),
-        "phase_deposit_s": round(phase_deposit, 4),
+        "phase_layout_s": round(phase_layout, 4) if measure_phases else None,
+        "phase_deposit_s": round(phase_deposit, 4) if measure_phases else None,
         "level_counts": level_counts,
         "n_oversize": n_oversize,
         "warm_first_s": round(warm_s, 2),
@@ -303,7 +306,7 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--prep", choices=("pallas", "xla"), default=None)
     ap.add_argument("--window", type=int, default=0)
-    ap.add_argument("--caps-slack", type=float, default=1.3)
+    ap.add_argument("--caps-slack", type=float, default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 

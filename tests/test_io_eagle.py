@@ -324,3 +324,128 @@ def test_output_dtype_f32_fast_path():
             np.testing.assert_allclose(
                 b.value, a.value.astype(np.float32), rtol=3e-7
             )
+
+
+class TestSpatialIndex:
+    """Region reads must be O(region), not O(box): with the block index
+    built, a small-region read opens only the files whose blocks intersect
+    the region (pyread_eagle select_region parity,
+    `_SnapshotEAGLE.py:115-117,176-310`; VERDICT r3 item 3)."""
+
+    @staticmethod
+    def _counting_file(counter):
+        import h5py
+
+        real_file = h5py.File
+
+        def wrapper(path, *a, **kw):
+            counter.append(str(path))
+            return real_file(path, *a, **kw)
+
+        return wrapper
+
+    @pytest.fixture()
+    def indexed_snapshot(self, tmp_path):
+        spec = SyntheticSnapshotSpec(
+            n_gas=8192, n_dm=64, n_star=16, n_bh=2, n_files=64,
+            spatial_order=True,
+        )
+        path, truth = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        return snap, truth, spec
+
+    def test_small_region_opens_few_files(self, indexed_snapshot, monkeypatch):
+        import h5py
+        import astro_sph_tools_tpu.io.eagle as eagle_mod
+
+        snap, truth, spec = indexed_snapshot
+        snap.restrict_data_comoving_loading_region(
+            1.0, 2.5, 1.0, 2.5, 1.0, 2.5
+        )
+        # correctness first: exact region mask applied over pruned reads
+        pos = snap.get_positions(ParticleType.gas).value
+        p = truth.positions[ParticleType.gas]
+        expected = (
+            (p[:, 0] >= 1.0) & (p[:, 0] < 2.5)
+            & (p[:, 1] >= 1.0) & (p[:, 1] < 2.5)
+            & (p[:, 2] >= 1.0) & (p[:, 2] < 2.5)
+        ).sum()
+        assert len(pos) == expected > 0
+        # now count file opens for a non-coordinate field read
+        opens: list = []
+        monkeypatch.setattr(
+            eagle_mod.h5py, "File", self._counting_file(opens)
+        )
+        masses = snap.get_masses(ParticleType.gas)
+        assert len(masses) == expected
+        # (1.5/10)^3 ~ 0.3% of the volume: with Morton-ordered files the
+        # read must touch a small fraction of the 64 files
+        assert 0 < len(set(opens)) < 16
+
+    def test_wrapped_region_prunes_and_is_exact(self, indexed_snapshot, monkeypatch):
+        import astro_sph_tools_tpu.io.eagle as eagle_mod
+
+        snap, truth, spec = indexed_snapshot
+        # crosses the periodic boundary on x: x in [9.5, 10) U [0, 0.5)
+        snap.restrict_data_comoving_loading_region(
+            9.5, 10.5, 4.0, 6.0, 4.0, 6.0
+        )
+        pos = snap.get_positions(ParticleType.gas).value
+        p = truth.positions[ParticleType.gas]
+        sel = (
+            ((p[:, 0] >= 9.5) | (p[:, 0] < 0.5))
+            & (p[:, 1] >= 4.0) & (p[:, 1] < 6.0)
+            & (p[:, 2] >= 4.0) & (p[:, 2] < 6.0)
+        )
+        assert len(pos) == sel.sum() > 0
+        assert ((pos[:, 0] >= 9.5) | (pos[:, 0] < 0.5)).all()
+        opens: list = []
+        monkeypatch.setattr(
+            eagle_mod.h5py, "File", self._counting_file(opens)
+        )
+        ids = snap.get_IDs(ParticleType.gas)
+        assert sorted(ids) == sorted(truth.ids[ParticleType.gas][sel])
+        assert 0 < len(set(opens)) < 32
+
+    def test_unsorted_snapshot_still_exact(self, tmp_path):
+        """Without spatial ordering the index cannot prune (every block
+        spans the box) but results stay exact."""
+        spec = SyntheticSnapshotSpec(
+            n_gas=1000, n_dm=10, n_star=10, n_bh=2, n_files=4
+        )
+        path, truth = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        snap.restrict_data_comoving_loading_region(
+            2.0, 4.0, 0.0, 10.0, 0.0, 10.0
+        )
+        pos = snap.get_positions(ParticleType.gas).value
+        p = truth.positions[ParticleType.gas]
+        assert len(pos) == ((p[:, 0] >= 2.0) & (p[:, 0] < 4.0)).sum()
+
+
+class TestNumPartHighWord:
+    def test_highword_counts(self, tmp_path):
+        """Real EAGLE headers split counts into uint32 NumPart_Total +
+        NumPart_Total_HighWord; production boxes exceed 2^32 particles
+        (reference scale evidence: `tools/_ArrayReorder.py:536-548`)."""
+        fake_gas_total = 5_000_000_000  # > 2^32
+        spec = SyntheticSnapshotSpec(
+            n_gas=64, n_dm=32, n_star=8, n_bh=2, n_files=1,
+            numpart_highword=True,
+            numpart_total_override=(fake_gas_total, 32, 0, 0, 8, 2),
+        )
+        path, _ = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        assert snap.number_of_particles(ParticleType.gas) == fake_gas_total
+        assert snap.number_of_particles(ParticleType.dark_matter) == 32
+
+    def test_highword_zero_roundtrip(self, tmp_path):
+        """HighWord present but zero must not change small counts."""
+        spec = SyntheticSnapshotSpec(
+            n_gas=100, n_dm=50, n_star=10, n_bh=2, n_files=2,
+            numpart_highword=True,
+        )
+        path, _ = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        assert snap.number_of_particles(ParticleType.gas) == 100
+        assert snap.number_of_particles(ParticleType.dark_matter) == 50
