@@ -1,0 +1,128 @@
+"""Compact host->device particle payloads for streaming ingest.
+
+The e2e snapshot->map pipeline is transfer-bound on hosts with slow links
+(PARITY.md: ~2.7-3.1 GB of f32 payload through a 45-950 MB/s tunnel
+dominates a 73-101 s wall whose device compute is ~2 s). The deposit
+consumes tile-local f32 (u, v) pixel coordinates, f32 smoothing lengths,
+and f32 field values — full-width f32 on the wire is wasted precision:
+
+- positions quantise to fixed-point ``uint16`` per axis (box/65536
+  resolution: 1.6e-2 px at a 1024^2 map of the full box — orders below the
+  smoothing scale of any SPH particle, and quantisation to the cell centre
+  is unbiased);
+- smoothing lengths ride IEEE ``float16`` (0.05% relative, well inside the
+  ~1% accuracy SPH h is iterated to);
+- field values ride ``float16`` with a caller-chosen power-of-two scale to
+  bring magnitudes in range (Msun masses overflow f16; Msun/1e10 do not).
+  Power-of-two scales make the scale/unscale round trip exact in binary
+  floating point.
+
+10 bytes/particle for (x, y, h, 2 fields) instead of 20 — the "halve the
+bytes on the wire" lever of VERDICT r3 item 4. Unpacking is a cheap fused
+device pass (`unpack_particles_device`); the host-side pack is one
+multiply+cast numpy pass per channel.
+
+This is *ingest* compression: the deposit itself stays bit-exact relative
+to its (quantised) inputs, so compiled-fidelity guarantees are unchanged;
+the quantisation error relative to f32 ingest is measured and reported by
+``benchmarks/e2e_1e8.py --pack`` (map-level relative error ~1e-4..1e-3,
+far below any physical uncertainty). There is no reference analogue — the
+reference ships f64 numpy arrays between MPI ranks
+(`tools/_ArrayReorder.py:299-373`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "PackedParticles",
+    "pack_particles_host",
+    "unpack_particles_device",
+]
+
+
+@dataclass
+class PackedParticles:
+    """Quantised particle block (host numpy or device jnp leaves).
+
+    ``x_q``/``y_q``: uint16 fixed point over [x0, x0+box) / [y0, y0+box).
+    ``h_q``: float16 smoothing lengths. ``fields_q``: (F, N) float16,
+    value = fields_q * field_scales[f] after unpack.
+    """
+
+    x_q: np.ndarray
+    y_q: np.ndarray
+    h_q: np.ndarray
+    fields_q: np.ndarray
+    x0: float
+    y0: float
+    box: float
+    field_scales: tuple
+
+    @property
+    def nbytes(self) -> int:
+        return (
+            self.x_q.nbytes + self.y_q.nbytes + self.h_q.nbytes
+            + self.fields_q.nbytes
+        )
+
+
+def pack_particles_host(
+    x: np.ndarray,
+    y: np.ndarray,
+    h: np.ndarray,
+    fields: Sequence[np.ndarray],
+    *,
+    box: float,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    field_scales: Optional[Sequence[float]] = None,
+) -> PackedParticles:
+    """Quantise one particle block on the host (one fused pass per channel).
+
+    ``field_scales[f]`` should be a power of two bringing ``fields[f] /
+    scale`` into f16 range (|v| < 6e4, |v| > 6e-5 for full precision);
+    defaults to 1.0 per field.
+    """
+    n = x.shape[0]
+    inv = np.float64(65536.0) / box
+    # u = floor((x - x0) / box * 65536), clipped into the box
+    x_q = np.clip((x - x0) * inv, 0, 65535.999).astype(np.uint16)
+    y_q = np.clip((y - y0) * inv, 0, 65535.999).astype(np.uint16)
+    h_q = np.asarray(h, dtype=np.float16)
+    if field_scales is None:
+        field_scales = (1.0,) * len(fields)
+    if len(field_scales) != len(fields):
+        raise ValueError("field_scales must match fields")
+    fields_q = np.empty((len(fields), n), dtype=np.float16)
+    for fi, (f, s) in enumerate(zip(fields, field_scales)):
+        np.multiply(f, 1.0 / s, out=fields_q[fi], casting="unsafe")
+    return PackedParticles(
+        x_q=x_q, y_q=y_q, h_q=h_q, fields_q=fields_q,
+        x0=float(x0), y0=float(y0), box=float(box),
+        field_scales=tuple(float(s) for s in field_scales),
+    )
+
+
+def unpack_particles_device(packed: PackedParticles):
+    """Fused device pass: quantised block -> (x, y, h, fields) in f32.
+
+    Fixed-point cells decode at their centre ((q + 0.5) * box / 65536):
+    unbiased for any in-cell position distribution. Works under ``jit``;
+    call with the quantised leaves already on device (e.g. via
+    ``jax.device_put`` from a prefetch thread) so only ~10 bytes/particle
+    cross the host->device link.
+    """
+    import jax.numpy as jnp
+
+    cw = packed.box / 65536.0
+    x = (packed.x_q.astype(jnp.float32) + 0.5) * cw + packed.x0
+    y = (packed.y_q.astype(jnp.float32) + 0.5) * cw + packed.y0
+    h = packed.h_q.astype(jnp.float32)
+    scales = jnp.asarray(packed.field_scales, jnp.float32)[:, None]
+    fields = packed.fields_q.astype(jnp.float32) * scales
+    return x, y, h, fields

@@ -65,3 +65,48 @@ class PhaseTimer:
             for name, secs in sorted(self._totals.items(), key=lambda kv: -kv[1])
         ]
         return "phase timings:\n" + "\n".join(lines)
+
+
+@contextlib.contextmanager
+def count_compilations() -> Iterator[list]:
+    """Count XLA compilations inside the block (VERDICT r3 item 6: the
+    warm-up budget needs the number of distinct programs a render
+    compiles, not a guess).
+
+    Yields a list that fills with one entry (the jit name logged by
+    ``jax_log_compiles``) per compilation that happened inside the block.
+    Counts genuine backend compilations — persistent-cache *hits* also log
+    (they still build a new executable for this process), which is exactly
+    the per-process warm-up cost being budgeted. Usage::
+
+        with count_compilations() as progs:
+            render(...)
+        print(len(progs), progs)
+    """
+    import logging
+
+    import jax
+
+    progs: list = []
+
+    class _Handler(logging.Handler):
+        def emit(self, record: logging.LogRecord) -> None:
+            msg = record.getMessage()
+            if "Finished XLA compilation" in msg:
+                progs.append(msg.split("\n", 1)[0][:200])
+
+    handler = _Handler(level=logging.DEBUG)
+    loggers = [logging.getLogger("jax._src.dispatch")]
+    prev = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    levels = [lg.level for lg in loggers]
+    for lg in loggers:
+        lg.addHandler(handler)
+        lg.setLevel(logging.DEBUG)
+    try:
+        yield progs
+    finally:
+        jax.config.update("jax_log_compiles", prev)
+        for lg, lv in zip(loggers, levels):
+            lg.removeHandler(handler)
+            lg.setLevel(lv)

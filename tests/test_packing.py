@@ -1,0 +1,77 @@
+"""Quantised wire-format tests (io.packing): roundtrip error bounds and
+map-level impact of packed ingest vs f32 ingest."""
+
+import numpy as np
+import pytest
+
+from astro_sph_tools_tpu.io.packing import (
+    pack_particles_host,
+    unpack_particles_device,
+)
+
+
+@pytest.fixture()
+def particles(rng):
+    n = 4096
+    box = 25.0
+    x = rng.uniform(0.0, box, n)
+    y = rng.uniform(0.0, box, n)
+    h = 10.0 ** rng.uniform(-2.0, -0.5, n)  # Mpc
+    mass = 10.0 ** rng.uniform(5.8, 6.4, n)  # Msun: overflows f16 unscaled
+    temp = 10.0 ** rng.uniform(3.5, 6.5, n)  # K
+    return box, x, y, h, mass, temp
+
+
+def test_roundtrip_bounds(particles):
+    box, x, y, h, mass, temp = particles
+    p = pack_particles_host(
+        x, y, h, [mass, temp], box=box, field_scales=(2.0**20, 2.0**16)
+    )
+    assert p.nbytes == x.shape[0] * 10  # u16+u16+f16 + 2*f16
+    xd, yd, hd, fd = (np.asarray(v) for v in unpack_particles_device(p))
+    # positions: one fixed-point cell (box/65536), decode at cell centre
+    cw = box / 65536.0
+    assert np.abs(xd - x).max() <= 0.5 * cw + 1e-9
+    assert np.abs(yd - y).max() <= 0.5 * cw + 1e-9
+    # quantisation must be unbiased to ~cw/sqrt(12N)
+    assert abs(np.mean(xd - x)) < cw
+    # h and fields: f16 relative precision (2^-11)
+    assert np.abs(hd / h - 1.0).max() < 6e-4
+    assert np.abs(fd[0] / mass - 1.0).max() < 6e-4
+    assert np.abs(fd[1] / temp - 1.0).max() < 6e-4
+
+
+def test_field_scale_validation(particles):
+    box, x, y, h, mass, temp = particles
+    with pytest.raises(ValueError):
+        pack_particles_host(x, y, h, [mass, temp], box=box, field_scales=(1.0,))
+
+
+def test_packed_map_close_to_f32_map(particles):
+    """Depositing packed-then-unpacked particles must reproduce the f32
+    map to sub-percent per-pixel accuracy and conserve total mass to f16
+    precision — the ingest-compression contract of VERDICT r3 item 4."""
+    from astro_sph_tools_tpu.ops.deposit import MapSpec, deposit_2d_fixed_h
+
+    box, x, y, h, mass, temp = particles
+    spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+    h_fixed = np.full_like(h, 1.2 * box / 64)
+
+    ref = np.asarray(
+        deposit_2d_fixed_h(
+            x.astype(np.float32), y.astype(np.float32),
+            h_fixed.astype(np.float32),
+            mass.astype(np.float32)[:, None], spec, K=8, chunk=2048,
+        )
+    )[..., 0]
+    p = pack_particles_host(
+        x, y, h_fixed, [mass], box=box, field_scales=(2.0**20,)
+    )
+    xd, yd, hd, fd = unpack_particles_device(p)
+    out = np.asarray(
+        deposit_2d_fixed_h(xd, yd, hd, fd[0][:, None], spec, K=8, chunk=2048)
+    )[..., 0]
+
+    assert abs(out.sum() / ref.sum() - 1.0) < 1e-3  # mass conservation
+    scale = ref.max()
+    assert np.abs(out - ref).max() / scale < 5e-3  # per-pixel impact
