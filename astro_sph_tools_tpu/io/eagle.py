@@ -125,12 +125,65 @@ class SnapshotEAGLE(SnapshotBase):
         self._my_files = self._file_paths[process_index::n_processes]
         self._n_processes = n_processes
 
-        with h5py.File(self._file_paths[0], "r") as f:
+        try:
+            self._scrape_header(self._file_paths[0])
+        except KeyError as err:
+            # graceful failure for schema-variant files (missing Units
+            # group, absent cosmology attrs, ...): name the gap instead of
+            # leaking a bare KeyError (reference schema spec:
+            # `_SnapshotEAGLE.py:78-113`)
+            raise SnapshotFormatError(
+                f'EAGLE snapshot "{self._file_paths[0]}" is missing a '
+                f"required header attribute/group: {err}"
+            ) from err
+        redshift = self._hdr_redshift
+        hubble_param = self._hdr_hubble_param
+        expansion_factor = self._hdr_expansion_factor
+        omega_baryon = self._hdr_omega_baryon
+
+        self._per_file_counts = np.zeros((len(self._file_paths), 6), dtype=np.int64)
+        for i, path in enumerate(self._file_paths):
+            with h5py.File(path, "r") as f:
+                self._per_file_counts[i] = np.asarray(
+                    f["Header"].attrs["NumPart_ThisFile"], dtype=np.int64
+                )
+
+        self._region_masks: dict[ParticleType, Optional[np.ndarray]] = {}
+        #: per type: per-my-file merged (start, stop) row ranges selected by
+        #: the spatial index, or None for whole-file reads
+        self._region_rows: dict[ParticleType, Optional[list]] = {}
+        self._regions: Optional[list[tuple]] = None
+        #: per type: per-my-file (n_rows, block_rows, mins, maxs) coordinate
+        #: bounding boxes (internal units); built lazily on first restriction
+        self._spatial_index: dict[ParticleType, Optional[list]] = {}
+
+        box_mpc = (
+            self._box_internal
+            * hubble_param**self._length_h_exp
+            * self._length_cgs
+            / C.MEGAPARSEC_CGS
+        )
+        super().__init__(
+            filepath=filepath,
+            number=snap_num,
+            redshift=redshift,
+            hubble_param=hubble_param,
+            omega_baryon=omega_baryon,
+            expansion_factor=expansion_factor,
+            box_size=unit_array(np.full(3, box_mpc), "Mpc"),
+            tracked_elements=C.EAGLE_TRACKED_ELEMENTS,
+            snipshot=is_snipshot,
+        )
+
+    def _scrape_header(self, path: str) -> None:
+        """Header scrape (`_SnapshotEAGLE.py:78-113`): cosmology attrs,
+        counts (with HighWord), unit exponents/CGS factors, cross-checks."""
+        with h5py.File(path, "r") as f:
             hdr = f["Header"].attrs
-            redshift = float(hdr["Redshift"])
-            hubble_param = float(hdr["HubbleParam"])
-            expansion_factor = float(hdr["ExpansionFactor"])
-            omega_baryon = float(hdr["OmegaBaryon"])
+            self._hdr_redshift = float(hdr["Redshift"])
+            self._hdr_hubble_param = float(hdr["HubbleParam"])
+            self._hdr_expansion_factor = float(hdr["ExpansionFactor"])
+            self._hdr_omega_baryon = float(hdr["OmegaBaryon"])
             # real EAGLE headers split counts into a uint32 low word plus
             # NumPart_Total_HighWord; production boxes exceed 2^32 particles
             # (reference evidence: 3.4-5.19e9-element reorders,
@@ -175,43 +228,6 @@ class SnapshotEAGLE(SnapshotBase):
             assert self._mass_cgs == float(units["UnitMass_in_g"])
             assert self._velocity_cgs == float(units["UnitVelocity_in_cm_per_s"])
 
-            # per-file particle counts per type
-            self._file_counts = {}  # filled below
-
-        self._per_file_counts = np.zeros((len(self._file_paths), 6), dtype=np.int64)
-        for i, path in enumerate(self._file_paths):
-            with h5py.File(path, "r") as f:
-                self._per_file_counts[i] = np.asarray(
-                    f["Header"].attrs["NumPart_ThisFile"], dtype=np.int64
-                )
-
-        self._region_masks: dict[ParticleType, Optional[np.ndarray]] = {}
-        #: per type: per-my-file merged (start, stop) row ranges selected by
-        #: the spatial index, or None for whole-file reads
-        self._region_rows: dict[ParticleType, Optional[list]] = {}
-        self._regions: Optional[list[tuple]] = None
-        #: per type: per-my-file (n_rows, block_rows, mins, maxs) coordinate
-        #: bounding boxes (internal units); built lazily on first restriction
-        self._spatial_index: dict[ParticleType, Optional[list]] = {}
-
-        box_mpc = (
-            self._box_internal
-            * hubble_param**self._length_h_exp
-            * self._length_cgs
-            / C.MEGAPARSEC_CGS
-        )
-        super().__init__(
-            filepath=filepath,
-            number=snap_num,
-            redshift=redshift,
-            hubble_param=hubble_param,
-            omega_baryon=omega_baryon,
-            expansion_factor=expansion_factor,
-            box_size=unit_array(np.full(3, box_mpc), "Mpc"),
-            tracked_elements=C.EAGLE_TRACKED_ELEMENTS,
-            snipshot=is_snipshot,
-        )
-
     # -- counts --------------------------------------------------------------
     def _get_number_of_particles(self) -> dict[ParticleType, int]:
         return {pt: int(self._num_part_total[pt.value]) for pt in ParticleType.get_all()}
@@ -241,12 +257,14 @@ class SnapshotEAGLE(SnapshotBase):
         costs ~1% of the box's IO, not 100%."""
         ranges = self._region_rows.get(particle_type)
         parts = []
+        group_seen = False
         for fidx, path in enumerate(self._my_files):
             if ranges is not None and not ranges[fidx]:
                 continue  # no selected rows: do not even open the file
             with h5py.File(path, "r") as f:
                 key = f"{particle_type.common_hdf5_name}/{field}"
                 if key not in f:
+                    group_seen |= particle_type.common_hdf5_name in f
                     continue
                 ds = f[key]
                 if ranges is None:
@@ -255,6 +273,22 @@ class SnapshotEAGLE(SnapshotBase):
                     for start, stop in ranges[fidx]:
                         parts.append(ds[start:stop])
         if not parts:
+            if group_seen:
+                # the particle group exists but lacks this dataset — a
+                # schema gap (snipshot field subset or corrupt file), not
+                # an empty particle type; silence here would propagate
+                # empty arrays into science results
+                if self.is_snipshot:
+                    raise SnipshotFieldError(
+                        field,
+                        "Unable to read this field - snipshots store a "
+                        "reduced field set.",
+                    )
+                raise SnapshotFormatError(
+                    f'Dataset "{field}" is missing from the '
+                    f"{particle_type.common_hdf5_name} groups of this "
+                    "snapshot's files."
+                )
             return np.empty((0, *trailing), dtype=dtype)
         data = np.concatenate(parts, axis=0)
         mask = self._region_masks.get(particle_type)

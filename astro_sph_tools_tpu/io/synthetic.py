@@ -79,6 +79,11 @@ class SyntheticSnapshotSpec:
     #: override the header totals (e.g. to fake a >2^32 count without
     #: writing that many particles); int64 per-slot values
     numpart_total_override: Optional[tuple] = None
+    #: write a snipshot (``snipshot_*/snip_*`` naming, reduced field set:
+    #: no ElementAbundance, MetalMassWeightedRedshift, StarFormationRate or
+    #: Temperature — the reference's snipshot semantics,
+    #: `_SnapshotEAGLE.py:69-74` naming, §2.1 snipshot field guards)
+    snipshot: bool = False
 
     @property
     def expansion_factor(self) -> float:
@@ -225,7 +230,10 @@ def write_snapshot(
     h = spec.hubble_param
     a = spec.expansion_factor
     tag = spec.tag
-    snap_dir = os.path.join(directory, f"snapshot_{tag}")
+    kind, prefix = (
+        ("snipshot", "snip") if spec.snipshot else ("snapshot", "snap")
+    )
+    snap_dir = os.path.join(directory, f"{kind}_{tag}")
     os.makedirs(snap_dir, exist_ok=True)
 
     counts = {pt: len(p.ids[pt]) for pt in ParticleType.get_all()}
@@ -261,7 +269,7 @@ def write_snapshot(
 
     first_path = None
     for fi in range(spec.n_files):
-        path = os.path.join(snap_dir, f"snap_{tag}.{fi}.hdf5")
+        path = os.path.join(snap_dir, f"{prefix}_{tag}.{fi}.hdf5")
         if fi == 0:
             first_path = path
         with h5py.File(path, "w") as f:
@@ -337,21 +345,23 @@ def write_snapshot(
                         "Density", data=to_internal_density(p.density[i0:i1])
                     )
                     attrs(ds, 2.0, -3.0, DENSITY_CGS)
-                    ds = g.create_dataset("Temperature", data=p.temperature[i0:i1])
-                    attrs(ds, 0.0, 0.0, 1.0)
-                    ds = g.create_dataset("StarFormationRate", data=p.sfr[i0:i1])
-                    attrs(ds, 0.0, 0.0, C.SOLAR_MASS_CGS / C.YEAR_CGS)
+                    if not spec.snipshot:
+                        ds = g.create_dataset("Temperature", data=p.temperature[i0:i1])
+                        attrs(ds, 0.0, 0.0, 1.0)
+                        ds = g.create_dataset("StarFormationRate", data=p.sfr[i0:i1])
+                        attrs(ds, 0.0, 0.0, C.SOLAR_MASS_CGS / C.YEAR_CGS)
 
                 if pt in (ParticleType.gas, ParticleType.star):
                     ds = g.create_dataset("Metallicity", data=p.metallicity[pt][i0:i1])
                     attrs(ds, 0.0, 0.0, 1.0)
-                    ds = g.create_dataset(
-                        "MetalMassWeightedRedshift", data=p.enrichment_z[pt][i0:i1]
-                    )
-                    attrs(ds, 0.0, 0.0, 1.0)
-                    ab = g.create_group("ElementAbundance")
-                    for sym, full in ELEMENT_FULL_NAMES.items():
-                        ab.create_dataset(full, data=p.abundances[pt][sym][i0:i1])
+                    if not spec.snipshot:
+                        ds = g.create_dataset(
+                            "MetalMassWeightedRedshift", data=p.enrichment_z[pt][i0:i1]
+                        )
+                        attrs(ds, 0.0, 0.0, 1.0)
+                        ab = g.create_group("ElementAbundance")
+                        for sym, full in ELEMENT_FULL_NAMES.items():
+                            ab.create_dataset(full, data=p.abundances[pt][sym][i0:i1])
     return first_path, p
 
 

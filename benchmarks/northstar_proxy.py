@@ -173,11 +173,15 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
                 donate=True, prep=prep,
             )
 
+        from astro_sph_tools_tpu.utils.profiling import count_compilations
+
         x, y, h, fields = gen()
         t0 = time.perf_counter()
-        out, okf = fused()
-        _ = float(out[0].sum())
+        with count_compilations() as progs:
+            out, okf = fused()
+            _ = float(out[0].sum())
         warm_s = time.perf_counter() - t0
+        n_programs_warm = len(progs)
         assert bool(okf), "calibrated capacities overflowed on warm render"
 
         wall = 1e30
@@ -206,6 +210,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
             "level_counts": level_counts,
             "n_oversize": n_oversize,
             "warm_first_s": round(warm_s, 2),
+            "n_programs_warm": n_programs_warm,
             "gen_s": round(gen_s, 2),
             "backend": backend,
         }
@@ -235,11 +240,15 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         return tp, render(tp)
 
     # warm (compile + program prepare)
+    from astro_sph_tools_tpu.utils.profiling import count_compilations
+
     t0 = time.perf_counter()
-    tp, out = full()
-    jax.block_until_ready(out)
-    _ = float(out[0].sum())
+    with count_compilations() as progs:
+        tp, out = full()
+        jax.block_until_ready(out)
+        _ = float(out[0].sum())
     warm_s = time.perf_counter() - t0
+    n_programs_warm = len(progs)
     if engine == "coherent":
         level_counts = dict(tp.stats)
         n_oversize = int(tp.n_tail_oversize)
@@ -290,6 +299,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         "level_counts": level_counts,
         "n_oversize": n_oversize,
         "warm_first_s": round(warm_s, 2),
+        "n_programs_warm": n_programs_warm,
         "gen_s": round(gen_s, 2),
         "backend": backend,
     }
