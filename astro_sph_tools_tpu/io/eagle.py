@@ -61,39 +61,14 @@ ELEMENT_FULL_NAMES = {
 SPATIAL_INDEX_BLOCK_ROWS = 1 << 16
 
 
-def _axis_intervals(lo: float, hi: float, box: float) -> list[tuple[float, float]]:
-    """Decompose the possibly-wrapped region [lo, hi) into 0-2 linear
-    sub-intervals of [0, box) — the same periodic split the reference
-    performs region-wise (`_SnapshotEAGLE.py:270-296`), done per axis."""
-    if hi - lo <= 0:
-        return []
-    if hi - lo >= box:
-        return [(0.0, box)]
-    lo = lo % box
-    hi_m = hi % box
-    if lo < hi_m:
-        return [(lo, hi_m)]
-    return [(lo, box), (0.0, hi_m)]
-
-
-def _wrapped_interval_mask(values: np.ndarray, lo: float, hi: float, box: float) -> np.ndarray:
-    """Membership of values (in [0, box)) in the possibly-wrapped [lo, hi).
-
-    Re-expression of the reference's periodic region decomposition
-    (`_SnapshotEAGLE.py:226-296`): an inverted range means the region crosses
-    the periodic boundary; out-of-box bounds are wrapped into the box first.
-    """
-    if hi - lo <= 0:  # zero-width (or inverted) region selects nothing
-        return np.zeros(values.shape[0], dtype=bool)
-    lo = lo % box
-    hi_m = hi % box
-    if hi - lo >= box:  # full axis
-        return np.ones(values.shape[0], dtype=bool)
-    if lo <= hi_m and hi_m != lo:
-        lo, hi = lo, hi_m
-        return (values >= lo) & (values < hi)
-    # wrapped: [lo, box) U [0, hi)
-    return (values >= lo) | (values < hi_m)
+# shared periodic-selection helpers; the leading-underscore names stay as
+# this module's public-ish test surface
+from .spatial import (  # noqa: E402
+    axis_intervals as _axis_intervals,
+    interval_overlap_mask as _interval_overlap_mask,
+    region_membership_mask as _region_membership_mask,
+    wrapped_interval_mask as _wrapped_interval_mask,
+)
 
 
 class SnapshotEAGLE(SnapshotBase):
@@ -467,18 +442,9 @@ class SnapshotEAGLE(SnapshotBase):
             if nb == 0:
                 ranges_per_file.append([])
                 continue
-            sel = np.zeros(nb, dtype=bool)
-            for region in self._regions:
-                m = np.ones(nb, dtype=bool)
-                for ax in range(3):
-                    lo_r, hi_r = region[2 * ax], region[2 * ax + 1]
-                    ax_ok = np.zeros(nb, dtype=bool)
-                    for lo, hi in _axis_intervals(lo_r, hi_r, box):
-                        ax_ok |= (maxs[:, ax] * scale >= lo) & (
-                            mins[:, ax] * scale < hi
-                        )
-                    m &= ax_ok
-                sel |= m
+            sel = _interval_overlap_mask(
+                mins * scale, maxs * scale, self._regions, box
+            )
             # merge adjacent selected blocks into contiguous row ranges
             ranges = []
             b = 0
@@ -513,13 +479,9 @@ class SnapshotEAGLE(SnapshotBase):
             pos = (
                 raw * (self.h**self._length_h_exp) * self._length_cgs / C.MEGAPARSEC_CGS
             )
-            mask = np.zeros(pos.shape[0], dtype=bool)
-            for (x0, x1, y0, y1, z0, z1) in self._regions:
-                m = _wrapped_interval_mask(pos[:, 0], x0, x1, box)
-                m &= _wrapped_interval_mask(pos[:, 1], y0, y1, box)
-                m &= _wrapped_interval_mask(pos[:, 2], z0, z1, box)
-                mask |= m
-            self._region_masks[pt] = mask
+            self._region_masks[pt] = _region_membership_mask(
+                pos, self._regions, box
+            )
 
     # -- field getters ----------------------------------------------------------
     def _get_IDs(self, particle_type: ParticleType) -> np.ndarray:

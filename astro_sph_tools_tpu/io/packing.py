@@ -62,6 +62,12 @@ class PackedParticles:
     y0: float
     box: float
     field_scales: tuple
+    #: scalar applied to h at unpack (fold a raw->user unit conversion into
+    #: the device pass: pack h in on-disk internal units, unpack in Mpc)
+    h_scale: float = 1.0
+    #: scalar applied to decoded positions at unpack (same folding for x/y
+    #: when ``box``/``x0``/``y0`` were given in raw internal units)
+    pos_scale: float = 1.0
 
     @property
     def nbytes(self) -> int:
@@ -81,12 +87,22 @@ def pack_particles_host(
     x0: float = 0.0,
     y0: float = 0.0,
     field_scales: Optional[Sequence[float]] = None,
+    field_unpack_scales: Optional[Sequence[float]] = None,
+    h_scale: float = 1.0,
+    pos_scale: float = 1.0,
 ) -> PackedParticles:
     """Quantise one particle block on the host (one fused pass per channel).
 
     ``field_scales[f]`` should be a power of two bringing ``fields[f] /
     scale`` into f16 range (|v| < 6e4, |v| > 6e-5 for full precision);
     defaults to 1.0 per field.
+
+    Unit conversion can ride the unpack instead of costing host passes:
+    pass *raw on-disk* arrays with ``box``/``x0``/``y0`` in the same raw
+    units, set ``h_scale`` / ``field_unpack_scales`` to the raw->user
+    scalar conversions (times ``field_scales``), and the single-core host
+    does exactly one multiply+cast per channel — the f64 unit algebra
+    happens on device (``unpack_particles_device``) where it is free.
     """
     n = x.shape[0]
     inv = np.float64(65536.0) / box
@@ -98,13 +114,19 @@ def pack_particles_host(
         field_scales = (1.0,) * len(fields)
     if len(field_scales) != len(fields):
         raise ValueError("field_scales must match fields")
+    if field_unpack_scales is None:
+        field_unpack_scales = field_scales
+    if len(field_unpack_scales) != len(fields):
+        raise ValueError("field_unpack_scales must match fields")
     fields_q = np.empty((len(fields), n), dtype=np.float16)
     for fi, (f, s) in enumerate(zip(fields, field_scales)):
         np.multiply(f, 1.0 / s, out=fields_q[fi], casting="unsafe")
     return PackedParticles(
         x_q=x_q, y_q=y_q, h_q=h_q, fields_q=fields_q,
         x0=float(x0), y0=float(y0), box=float(box),
-        field_scales=tuple(float(s) for s in field_scales),
+        field_scales=tuple(float(s) for s in field_unpack_scales),
+        h_scale=float(h_scale),
+        pos_scale=float(pos_scale),
     )
 
 
@@ -120,9 +142,10 @@ def unpack_particles_device(packed: PackedParticles):
     import jax.numpy as jnp
 
     cw = packed.box / 65536.0
-    x = (packed.x_q.astype(jnp.float32) + 0.5) * cw + packed.x0
-    y = (packed.y_q.astype(jnp.float32) + 0.5) * cw + packed.y0
-    h = packed.h_q.astype(jnp.float32)
+    ps = packed.pos_scale
+    x = ((packed.x_q.astype(jnp.float32) + 0.5) * cw + packed.x0) * ps
+    y = ((packed.y_q.astype(jnp.float32) + 0.5) * cw + packed.y0) * ps
+    h = packed.h_q.astype(jnp.float32) * packed.h_scale
     scales = jnp.asarray(packed.field_scales, jnp.float32)[:, None]
     fields = packed.fields_q.astype(jnp.float32) * scales
     return x, y, h, fields

@@ -49,6 +49,7 @@ from .catalogue import (
 )
 from .errors import SnapshotFormatError
 from .snapshot import SnapshotBase
+from .spatial import interval_overlap_mask, region_membership_mask
 
 SWIFT_ELEMENT_ORDER = ("H", "He", "C", "N", "O", "Ne", "Mg", "Si", "Fe")
 _CGS_KEY = "Conversion factor to CGS (not including cosmological corrections)"
@@ -109,6 +110,13 @@ class SnapshotSWIFT(SnapshotBase):
         if m:
             number = m.group(1)
 
+        self._region_masks = {}
+        #: per type: per-my-file merged (start, stop) row ranges selected by
+        #: the Cells index, or None for whole-file reads
+        self._region_rows = {}
+        self._regions = None
+        self._cells_cache = None  # lazy: False (absent) or (centres, size, per_type)
+
         box_mpc = box_internal * length_cgs / C.MEGAPARSEC_CGS
         super().__init__(
             filepath=filepath,
@@ -129,27 +137,169 @@ class SnapshotSWIFT(SnapshotBase):
 
     def _get_number_of_particles_this_rank(self) -> dict[ParticleType, int]:
         my_idx = [self._file_paths.index(p) for p in self._my_files]
-        return {
-            pt: int(self._per_file_counts[my_idx, pt.value].sum())
-            for pt in ParticleType.get_all()
-        }
+        out = {}
+        for pt in ParticleType.get_all():
+            mask = self._region_masks.get(pt)
+            if mask is not None:
+                out[pt] = int(mask.sum())
+            else:
+                out[pt] = int(self._per_file_counts[my_idx, pt.value].sum())
+        return out
 
     # -- raw reads ----------------------------------------------------------------
     def _read_dataset(self, particle_type: ParticleType, field: str, trailing=()):
+        """Concatenate a field over this process's files. With a region
+        restriction active, only the Cells-selected row ranges are read and
+        non-intersecting files are never opened — the native SWIFT spatial
+        masking the (broken) reference SWIFT backend left on the table."""
+        ranges = self._region_rows.get(particle_type)
         parts = []
         a_exp = 0.0
         cgs = 1.0
-        for path in self._my_files:
+        attrs_seen = False
+        for fidx, path in enumerate(self._my_files):
+            if ranges is not None and not ranges[fidx]:
+                continue  # no selected rows: do not even open the file
             with h5py.File(path, "r") as f:
                 key = f"{particle_type.common_hdf5_name}/{field}"
                 if key in f:
                     ds = f[key]
-                    parts.append(np.asarray(ds))
+                    if ranges is None:
+                        parts.append(np.asarray(ds))
+                    else:
+                        for start, stop in ranges[fidx]:
+                            parts.append(ds[start:stop])
                     cgs = float(ds.attrs.get(_CGS_KEY, 1.0))
                     a_exp = float(np.atleast_1d(ds.attrs.get("a-scale exponent", 0.0))[0])
+                    attrs_seen = True
+        if not attrs_seen:
+            # every data-bearing file was pruned: still need the unit attrs
+            for path in self._file_paths:
+                with h5py.File(path, "r") as f:
+                    key = f"{particle_type.common_hdf5_name}/{field}"
+                    if key in f:
+                        ds = f[key]
+                        cgs = float(ds.attrs.get(_CGS_KEY, 1.0))
+                        a_exp = float(
+                            np.atleast_1d(ds.attrs.get("a-scale exponent", 0.0))[0]
+                        )
+                        break
         if not parts:
             return np.empty((0, *trailing)), a_exp, cgs
-        return np.concatenate(parts, axis=0), a_exp, cgs
+        data = np.concatenate(parts, axis=0)
+        mask = self._region_masks.get(particle_type)
+        if mask is not None:
+            data = data[mask]
+        return data, a_exp, cgs
+
+    # -- region restriction (native Cells metadata) -------------------------------
+    def _load_cells(self):
+        """SWIFT top-level cell metadata from file 0 (global across files):
+        ``Cells/Meta-data`` (size), ``Cells/Centres``, per-type
+        ``Counts``/``OffsetsInFile``/``Files``. Returns False when absent."""
+        if self._cells_cache is not None:
+            return self._cells_cache
+        with h5py.File(self._file_paths[0], "r") as f:
+            if "Cells" not in f:
+                self._cells_cache = False
+                return False
+            c = f["Cells"]
+            size = np.atleast_1d(np.asarray(c["Meta-data"].attrs["size"], np.float64))
+            if size.shape[0] == 1:
+                size = np.repeat(size, 3)
+            centres = np.asarray(c["Centres"], np.float64)
+            per_type = {}
+            for pt in ParticleType.get_all():
+                name = pt.common_hdf5_name
+                if f"Counts/{name}" in c:
+                    counts = np.asarray(c[f"Counts/{name}"], np.int64)
+                    offsets = np.asarray(c[f"OffsetsInFile/{name}"], np.int64)
+                    if f"Files/{name}" in c:
+                        files = np.asarray(c[f"Files/{name}"], np.int64)
+                    else:
+                        files = np.zeros(centres.shape[0], np.int64)
+                    per_type[pt] = (counts, offsets, files)
+            self._cells_cache = (centres, size, per_type)
+        return self._cells_cache
+
+    def restrict_data_comoving_loading_region(
+        self, min_x, max_x, min_y, max_y, min_z, max_z
+    ) -> None:
+        """Restrict subsequent reads to co-moving Mpc box region(s), pruned
+        through SWIFT's native ``Cells`` metadata when present (exact masks
+        either way; same semantics as the EAGLE backend, inverted ranges
+        wrap the periodic boundary)."""
+        def to_mpc_list(v):
+            if isinstance(v, UnitArray):
+                v = v.to_value("Mpc")
+            return np.atleast_1d(np.asarray(v, dtype=np.float64))
+
+        bounds = [to_mpc_list(b) for b in (min_x, max_x, min_y, max_y, min_z, max_z)]
+        n_regions = bounds[0].shape[0]
+        if any(b.shape[0] != n_regions for b in bounds):
+            raise ValueError("All region bound sequences must have the same length.")
+        self._regions = [tuple(b[i] for b in bounds) for i in range(n_regions)]
+        self._region_masks = {}
+        self._region_rows = {}
+        self._dm_hsml_cache = None  # k-NN h depends on the loaded subset
+        self._build_region_selection()
+        self._update_number_of_particles()
+
+    def restrict_data_proper_loading_region(self, min_x, max_x, min_y, max_y, min_z, max_z):
+        conv = lambda v: self.to_comoving_length(
+            v if not isinstance(v, UnitArray) else v.to_value("Mpc")
+        )
+        self.restrict_data_comoving_loading_region(
+            conv(min_x), conv(max_x), conv(min_y), conv(max_y), conv(min_z), conv(max_z)
+        )
+
+    def clear_region_restriction(self) -> None:
+        self._regions = None
+        self._region_masks = {}
+        self._region_rows = {}
+        self._dm_hsml_cache = None
+        self._update_number_of_particles()
+
+    def _build_region_selection(self) -> None:
+        box = float(self.box_size.value[0])
+        scale = self._length_cgs / C.MEGAPARSEC_CGS  # internal -> Mpc
+        cells = self._load_cells()
+        for pt in ParticleType.get_all():
+            if self._num_part_total[pt.value] == 0:
+                self._region_masks[pt] = None
+                self._region_rows[pt] = None
+                continue
+            if cells:
+                centres, size, per_type = cells
+                if pt in per_type:
+                    counts, offsets, files = per_type[pt]
+                    mins = (centres - 0.5 * size[None, :]) * scale
+                    maxs = (centres + 0.5 * size[None, :]) * scale
+                    sel = interval_overlap_mask(mins, maxs, self._regions, box)
+                    ranges_per_file = []
+                    for path in self._my_files:
+                        g = self._file_paths.index(path)
+                        in_file = sel & (files == g) & (counts > 0)
+                        cidx = np.flatnonzero(in_file)
+                        cidx = cidx[np.argsort(offsets[cidx], kind="stable")]
+                        ranges = []
+                        for ci in cidx:
+                            start = int(offsets[ci])
+                            stop = start + int(counts[ci])
+                            if ranges and start <= ranges[-1][1]:
+                                ranges[-1] = (ranges[-1][0], max(stop, ranges[-1][1]))
+                            else:
+                                ranges.append((start, stop))
+                        ranges_per_file.append(ranges)
+                    self._region_rows[pt] = ranges_per_file
+            # exact membership mask over the (possibly pruned) rows
+            saved = self._region_masks
+            self._region_masks = {}
+            raw, _, _ = self._read_dataset(pt, "Coordinates", trailing=(3,))
+            self._region_masks = saved
+            self._region_masks[pt] = region_membership_mask(
+                raw * scale, self._regions, box
+            )
 
     def _cgs_field(
         self, particle_type: ParticleType, field: str, cgs_units: str,

@@ -84,6 +84,10 @@ class SyntheticSnapshotSpec:
     #: Temperature — the reference's snipshot semantics,
     #: `_SnapshotEAGLE.py:69-74` naming, §2.1 snipshot field guards)
     snipshot: bool = False
+    #: SWIFT writer only: emit the native ``Cells`` spatial metadata with
+    #: this many top-level cells per axis (0 = none). Particles are sorted
+    #: into cell order, as SWIFT outputs are on disk
+    swift_cells_dim: int = 0
 
     @property
     def expansion_factor(self) -> float:
@@ -388,6 +392,15 @@ def write_swift_snapshot(
     path = os.path.join(directory, f"swift_{spec.snapshot_number:04d}.hdf5")
     cgs_key = "Conversion factor to CGS (not including cosmological corrections)"
 
+    cell_layout = None
+    if spec.swift_cells_dim:
+        # sort each type into top-level-cell order (mutates p, which is
+        # also the returned truth) and build per-cell counts/offsets —
+        # SWIFT's native on-disk spatial index
+        cell_layout = _sort_into_swift_cells(
+            p, spec.box_size_mpc, spec.swift_cells_dim
+        )
+
     counts = {pt: len(p.ids[pt]) for pt in ParticleType.get_all()}
     num_total = np.zeros(6, dtype=np.int64)
     for pt in ParticleType.get_all():
@@ -435,7 +448,67 @@ def write_swift_snapshot(
                 order = ("H", "He", "C", "N", "O", "Ne", "Mg", "Si", "Fe")
                 emf = np.stack([p.abundances[pt][s] for s in order], axis=1)
                 mk(g, "ElementMassFractions", emf, 1.0, 0.0)
+
+        if cell_layout is not None:
+            dim = spec.swift_cells_dim
+            csize = spec.box_size_mpc / dim
+            nc = dim**3
+            cells = f.create_group("Cells")
+            meta = cells.create_group("Meta-data")
+            meta.attrs["dimension"] = np.array([dim, dim, dim], np.int32)
+            meta.attrs["size"] = np.full(3, csize)
+            meta.attrs["nr_cells"] = np.array([nc], np.int32)
+            ii = np.arange(nc)
+            ci, cj, ck = ii // (dim * dim), (ii // dim) % dim, ii % dim
+            cells.create_dataset(
+                "Centres",
+                data=np.stack(
+                    [(ci + 0.5) * csize, (cj + 0.5) * csize, (ck + 0.5) * csize],
+                    axis=1,
+                ),
+            )
+            counts_g = cells.create_group("Counts")
+            off_g = cells.create_group("OffsetsInFile")
+            files_g = cells.create_group("Files")
+            for pt, (c_counts, c_offsets) in cell_layout.items():
+                name = pt.common_hdf5_name
+                counts_g.create_dataset(name, data=c_counts)
+                off_g.create_dataset(name, data=c_offsets)
+                files_g.create_dataset(name, data=np.zeros(nc, np.int32))
     return path, p
+
+
+def _sort_into_swift_cells(
+    p: SyntheticParticles, box: float, dim: int
+) -> dict:
+    """Sort every per-type array into top-level-cell order (in place) and
+    return {pt: (counts, offsets)} over the dim^3 row-major cell grid."""
+    nc = dim**3
+    layout = {}
+    for pt in list(p.positions):
+        cell3 = np.clip(
+            (p.positions[pt] / box * dim).astype(np.int64), 0, dim - 1
+        )
+        cell = (cell3[:, 0] * dim + cell3[:, 1]) * dim + cell3[:, 2]
+        order = np.argsort(cell, kind="stable")
+        for d in (p.positions, p.velocities, p.masses, p.smoothing, p.ids,
+                  p.group_numbers, p.metallicity, p.enrichment_z):
+            if pt in d:
+                d[pt] = d[pt][order]
+        if pt in p.abundances:
+            p.abundances[pt] = {
+                sym: arr[order] for sym, arr in p.abundances[pt].items()
+            }
+        if pt == ParticleType.gas:
+            p.density = p.density[order]
+            p.temperature = p.temperature[order]
+            p.sfr = p.sfr[order]
+        if pt == ParticleType.black_hole and p.bh_subgrid_mass is not None:
+            p.bh_subgrid_mass = p.bh_subgrid_mass[order]
+        counts = np.bincount(cell, minlength=nc).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        layout[pt] = (counts, offsets)
+    return layout
 
 
 def write_soap_catalogue(

@@ -154,8 +154,14 @@ def main() -> None:
     log2_n = int(sys.argv[1]) if len(sys.argv) > 1 else 27
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     # "pack": quantised 10 B/particle wire format (io.packing) instead of
-    # 20 B of f32 — the transfer-bound e2e's biggest lever (VERDICT r3 #4)
-    pack_mode = (sys.argv[3] if len(sys.argv) > 3 else "f32") == "pack"
+    # 20 B of f32 — the transfer-bound e2e's biggest lever (VERDICT r3 #4).
+    # "packraw": additionally skip ALL host-side unit algebra — raw on-disk
+    # internal units are quantised directly (one multiply+cast per channel)
+    # and the raw->user conversion folds into the device unpack.
+    wire = sys.argv[3] if len(sys.argv) > 3 else "f32"
+    if wire not in ("f32", "pack", "packraw"):
+        raise SystemExit(f"unknown wire format {wire!r}")
+    pack_mode = wire != "f32"
     n_gas = 1 << log2_n
     cache = os.path.join("/tmp", f"ast_e2e_big_{log2_n}")
     os.makedirs(cache, exist_ok=True)
@@ -184,7 +190,36 @@ def main() -> None:
     TEMP_SCALE = 2.0**16
 
     def read_chunk(ci):
+        from astro_sph_tools_tpu import constants as C
+
         snap = SnapshotEAGLE(first, process_index=ci, n_processes=n_chunks)
+        if wire == "packraw":
+            # raw internal units straight off disk; the only host passes
+            # are one multiply+cast per channel (the pack itself). The
+            # raw->user scalar conversions ride the device unpack.
+            gas = ParticleType.gas
+            raw_pos = snap._read_dataset(gas, "Coordinates", trailing=(3,))
+            raw_h = snap._read_dataset(gas, "SmoothingLength")
+            raw_m = snap._read_dataset(gas, "Mass")
+            raw_t = snap._read_dataset(gas, "Temperature")
+            s_len = (
+                snap.h**snap._length_h_exp * snap._length_cgs
+                / C.MEGAPARSEC_CGS
+            )
+            s_mass = (
+                snap.h**snap._mass_h_exp * snap._mass_cgs / C.SOLAR_MASS_CGS
+            )
+            # raw internal masses (~3e-5) sit in f16 subnormal range:
+            # prescale by 2^14 (exact) to keep full f16 precision
+            return pack_particles_host(
+                np.ascontiguousarray(raw_pos[:, 0]),
+                np.ascontiguousarray(raw_pos[:, 1]),
+                raw_h, [raw_m, raw_t],
+                box=snap._box_internal,
+                pos_scale=s_len, h_scale=s_len,
+                field_scales=(2.0**-14, TEMP_SCALE),
+                field_unpack_scales=(s_mass * 2.0**-14, TEMP_SCALE),
+            )
         # f32 field output: one fused host pass per field, no grams en route
         snap.output_dtype = np.float32
         pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
@@ -279,7 +314,7 @@ def main() -> None:
                 "n_particles": n_gas,
                 "particles_per_sec": round(n_gas / wall, 1),
                 "cold_start_s": round(cold_wall, 2),
-                "wire_format": "packed-u16/f16" if pack_mode else "f32",
+                "wire_format": wire,
                 "bytes_per_particle": round(bytes_per_particle[0], 2),
                 "phases_s": {
                     "io": round(io_s, 2),

@@ -16,6 +16,9 @@ from astro_sph_tools_tpu.ops.deposit_coherent import (
 
 from test_deposit_coherent import _coherent_set  # noqa: F401 (helper)
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def rng():

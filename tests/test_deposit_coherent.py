@@ -14,6 +14,9 @@ from astro_sph_tools_tpu.ops.deposit_pallas import deposit_2d_auto
 
 from oracles import project_oracle
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def rng():

@@ -15,6 +15,9 @@ from astro_sph_tools_tpu.ops.deposit_pallas import (
 )
 from oracles import project_oracle
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 def rel_err(got, expected):
     return np.abs(got - expected).max() / np.abs(expected).max()

@@ -7,6 +7,9 @@ import pytest
 from astro_sph_tools_tpu.parallel.reorder import distributed_reorder
 from astro_sph_tools_tpu.parallel.sharded import make_mesh
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

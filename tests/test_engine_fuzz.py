@@ -16,6 +16,9 @@ from astro_sph_tools_tpu.ops.deposit_pallas import deposit_2d_auto
 
 from oracles import project_oracle_fast
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 def _random_case(seed: int):
     rng = np.random.default_rng(seed)

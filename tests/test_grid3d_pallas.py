@@ -11,6 +11,9 @@ from astro_sph_tools_tpu.ops.grid3d_pallas import (
 )
 from oracles import grid3d_oracle
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 def rel_err(got, expected):
     return np.abs(got - expected).max() / np.abs(expected).max()

@@ -146,3 +146,94 @@ class TestCatalogueSOAP:
         # halo 0 has one direct child (halo 2); halo 2 has one (halo 3)
         assert kids[0] == 1 and kids[2] == 1
         assert cat.number_of_descendants[0] == 2
+
+
+class TestSWIFTRegionRestriction:
+    """Region restriction through SWIFT's native Cells metadata — the
+    spatial masking capability the reference's broken SWIFT backend never
+    had (swiftsimio cell masking parity)."""
+
+    @pytest.fixture()
+    def cells_snapshot(self, tmp_path):
+        spec = SyntheticSnapshotSpec(
+            n_gas=4096, n_dm=512, n_star=64, n_bh=2, swift_cells_dim=4
+        )
+        path, truth = write_swift_snapshot(str(tmp_path), spec)
+        return SnapshotSWIFT(path), truth, spec
+
+    def test_cells_metadata_written_and_loaded(self, cells_snapshot):
+        snap, truth, spec = cells_snapshot
+        cells = snap._load_cells()
+        assert cells is not False
+        centres, size, per_type = cells
+        assert centres.shape == (64, 3)
+        counts, offsets, files = per_type[ParticleType.gas]
+        assert counts.sum() == spec.n_gas
+        # offsets consistent with counts (cell-ordered single file)
+        np.testing.assert_array_equal(
+            offsets, np.concatenate([[0], np.cumsum(counts)[:-1]])
+        )
+
+    def test_region_read_is_exact(self, cells_snapshot):
+        snap, truth, spec = cells_snapshot
+        box = spec.box_size_mpc
+        snap.restrict_data_comoving_loading_region(
+            1.0, 4.0, 2.0, 6.0, 0.0, box
+        )
+        pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
+        p = truth.positions[ParticleType.gas]
+        sel = (
+            (p[:, 0] >= 1.0) & (p[:, 0] < 4.0)
+            & (p[:, 1] >= 2.0) & (p[:, 1] < 6.0)
+        )
+        assert len(pos) == sel.sum() > 0
+        assert snap.number_of_particles_this_rank(ParticleType.gas) == sel.sum()
+        ids = snap.get_IDs(ParticleType.gas)
+        assert sorted(ids) == sorted(truth.ids[ParticleType.gas][sel])
+        # masses align with the same selection
+        m = snap.get_masses(ParticleType.gas).to_value("Msun")
+        assert np.allclose(np.sort(m), np.sort(truth.masses[ParticleType.gas][sel]))
+
+    def test_region_read_prunes_rows(self, cells_snapshot):
+        """A 1-cell-sized region must read only a few of the 64 cells."""
+        snap, truth, spec = cells_snapshot
+        snap.restrict_data_comoving_loading_region(
+            0.1, 2.4, 0.1, 2.4, 0.1, 2.4
+        )
+        ranges = snap._region_rows[ParticleType.gas]
+        assert ranges is not None
+        rows_read = sum(e - s for r in ranges for (s, e) in r)
+        assert 0 < rows_read < spec.n_gas // 2
+
+    def test_wrapped_region(self, cells_snapshot):
+        snap, truth, spec = cells_snapshot
+        box = spec.box_size_mpc
+        snap.restrict_data_comoving_loading_region(
+            box - 1.0, box + 1.0, 0.0, box, 0.0, box
+        )
+        pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
+        p = truth.positions[ParticleType.gas]
+        sel = (p[:, 0] >= box - 1.0) | (p[:, 0] < 1.0)
+        assert len(pos) == sel.sum() > 0
+        assert ((pos[:, 0] >= box - 1.0) | (pos[:, 0] < 1.0)).all()
+
+    def test_clear_restriction(self, cells_snapshot):
+        snap, truth, spec = cells_snapshot
+        snap.restrict_data_comoving_loading_region(0.0, 1.0, 0.0, 1.0, 0.0, 1.0)
+        n_r = snap.number_of_particles_this_rank(ParticleType.gas)
+        snap.clear_region_restriction()
+        assert snap.number_of_particles_this_rank(ParticleType.gas) == spec.n_gas
+        assert n_r < spec.n_gas
+
+    def test_no_cells_metadata_still_exact(self, tmp_path):
+        """Without Cells the restriction is mask-only but exact."""
+        spec = SyntheticSnapshotSpec(n_gas=1024, n_dm=64, n_star=16, n_bh=2)
+        path, truth = write_swift_snapshot(str(tmp_path), spec)
+        snap = SnapshotSWIFT(path)
+        assert snap._load_cells() is False
+        snap.restrict_data_comoving_loading_region(
+            2.0, 5.0, 0.0, spec.box_size_mpc, 0.0, spec.box_size_mpc
+        )
+        pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
+        p = truth.positions[ParticleType.gas]
+        assert len(pos) == ((p[:, 0] >= 2.0) & (p[:, 0] < 5.0)).sum()

@@ -7,6 +7,9 @@ from astro_sph_tools_tpu.io.los import LineOfSightFileEAGLE
 from astro_sph_tools_tpu.io.synthetic import SyntheticSnapshotSpec, write_los_file
 from astro_sph_tools_tpu.ops.sightlines import column_integrate, los_profiles
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 class TestLosToIntegration:
     def test_column_density_from_los_file(self, tmp_path):

@@ -75,3 +75,24 @@ def test_packed_map_close_to_f32_map(particles):
     assert abs(out.sum() / ref.sum() - 1.0) < 1e-3  # mass conservation
     scale = ref.max()
     assert np.abs(out - ref).max() / scale < 5e-3  # per-pixel impact
+
+
+def test_raw_unit_folding(particles):
+    """Packing raw internal units with folded unpack scales must decode to
+    the same user-unit values as packing converted arrays."""
+    box, x, y, h, mass, temp = particles
+    s_len = 0.6777  # pretend internal = Mpc * s_len^-1 ... use invertible scalar
+    raw_x, raw_y, raw_h = x / s_len, y / s_len, h / s_len
+    raw_m = mass * 5e-11
+    p = pack_particles_host(
+        raw_x, raw_y, raw_h, [raw_m], box=box / s_len,
+        pos_scale=s_len, h_scale=s_len,
+        field_scales=(2.0**-14,),
+        field_unpack_scales=(2.0**-14 / 5e-11,),
+    )
+    xd, yd, hd, fd = (np.asarray(v) for v in unpack_particles_device(p))
+    cw = box / 65536.0
+    # half a quantisation cell plus a few f32 ulps of the decode chain
+    assert np.abs(xd - x).max() <= 0.5 * cw + 5e-6
+    assert np.abs(hd / h - 1.0).max() < 6e-4
+    assert np.abs(fd[0] / mass - 1.0).max() < 6e-4

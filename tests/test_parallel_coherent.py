@@ -16,6 +16,9 @@ from astro_sph_tools_tpu.parallel.coherent import (
 
 from test_deposit_coherent import _coherent_set
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 def rel_err(got, expected):
     return np.abs(got - expected).max() / np.abs(expected).max()

@@ -2,6 +2,7 @@
 result (columns and spectra are additive over particles)."""
 
 import numpy as np
+import pytest
 
 from astro_sph_tools_tpu.ops.sightlines import column_integrate
 from astro_sph_tools_tpu.parallel import (
@@ -9,6 +10,9 @@ from astro_sph_tools_tpu.parallel import (
     column_integrate_sharded,
 )
 from astro_sph_tools_tpu.ops.spectra import absorption_spectra
+
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
 
 
 def test_sharded_columns_match_global():

@@ -12,6 +12,9 @@ from astro_sph_tools_tpu.io.synthetic import (
 from astro_sph_tools_tpu.io.tng import SnapshotTNG
 from astro_sph_tools_tpu.render import render_map_stack
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 class TestRenderBackends:
     def test_swift_snapshot_render(self, tmp_path, rng):

@@ -26,6 +26,9 @@ from astro_sph_tools_tpu.ops.sightlines import column_integrate
 
 from oracles import project_oracle
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workflow(tmp_path_factory):

@@ -17,6 +17,9 @@ from astro_sph_tools_tpu.parallel.sharded_io import (
 )
 from oracles import project_oracle
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

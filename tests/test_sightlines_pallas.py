@@ -10,6 +10,9 @@ import pytest
 from astro_sph_tools_tpu.ops.sightlines import column_integrate, column_integrate_binned
 from astro_sph_tools_tpu.ops.sightlines_pallas import column_integrate_pallas
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 def _data(n=20000, rays=300, box=10.0, seed=0):
     rng = np.random.default_rng(seed)

@@ -7,6 +7,9 @@ from astro_sph_tools_tpu.data_structures.cosmology import Cosmology
 from astro_sph_tools_tpu.ops.spectra import absorption_spectra
 from astro_sph_tools_tpu.ops.spectra_pallas import absorption_spectra_pallas
 
+# compile-heavy (interpret-mode Pallas / shard_map meshes): slow lane
+pytestmark = pytest.mark.slow
+
 
 def _data(n=8000, rays=100, box=10.0, seed=0):
     rng = np.random.default_rng(seed)
