@@ -96,6 +96,10 @@ class SnapshotTNG(SnapshotBase):
                     f["Header"].attrs["NumPart_ThisFile"], dtype=np.int64
                 )
 
+        #: per type: global (start, stop) particle-row range restriction, or
+        #: absent for whole-snapshot reads (illustris loadHalo-style cutouts)
+        self._row_ranges: dict[ParticleType, tuple[int, int]] = {}
+
         box_mpc = self._box_ckpc_h / hubble / 1.0e3  # ckpc/h -> comoving Mpc
         super().__init__(
             filepath=filepath,
@@ -121,20 +125,76 @@ class SnapshotTNG(SnapshotBase):
         return {pt: int(self._num_part_total[pt.value]) for pt in ParticleType.get_all()}
 
     def _get_number_of_particles_this_rank(self) -> dict[ParticleType, int]:
-        my_idx = [self._file_paths.index(p) for p in self._my_files]
-        return {
-            pt: int(self._per_file_counts[my_idx, pt.value].sum())
-            for pt in ParticleType.get_all()
-        }
+        my = set(self._my_files)
+        out = {}
+        for pt in ParticleType.get_all():
+            rng = self._row_ranges.get(pt)
+            total = 0
+            file_start = 0
+            for i, path in enumerate(self._file_paths):
+                n_i = int(self._per_file_counts[i, pt.value])
+                if path in my:
+                    if rng is None:
+                        total += n_i
+                    else:
+                        lo = max(rng[0], file_start)
+                        hi = min(rng[1], file_start + n_i)
+                        total += max(0, hi - lo)
+                file_start += n_i
+            out[pt] = total
+        return out
+
+    # -- row-range restriction (illustris loadHalo-style cutouts) ----------------
+    def restrict_to_row_ranges(
+        self, ranges: dict[ParticleType, tuple[int, int]]
+    ) -> None:
+        """Restrict subsequent reads to global particle-row ranges.
+
+        TNG snapshots store particles in FoF-group order (members of group
+        0 first, then group 1, ..., then the outer fuzz), so one halo's
+        particles are a single contiguous slice per type — the layout
+        illustris_python's ``snapshot.loadHalo`` exploits. With a range
+        set, ``_read_dataset`` reads only the intersecting file slices:
+        a halo cutout costs O(halo), not O(box). Use
+        :meth:`CatalogueTNG.restrict_snapshot_to_halo` to derive ranges
+        from GroupLenType offsets."""
+        for pt, (start, stop) in ranges.items():
+            if stop < start or start < 0:
+                raise ValueError(f"invalid row range {(start, stop)} for {pt}")
+        self._row_ranges = dict(ranges)
+        self._update_number_of_particles()
+
+    def clear_row_restriction(self) -> None:
+        self._row_ranges = {}
+        self._update_number_of_particles()
 
     # -- raw reads -----------------------------------------------------------------
     def _read_dataset(self, particle_type: ParticleType, field: str, dtype=np.float64, trailing=()):
+        rng = self._row_ranges.get(particle_type)
+        my = set(self._my_files)
         parts = []
-        for path in self._my_files:
+        file_start = 0
+        for i, path in enumerate(self._file_paths):
+            n_i = int(self._per_file_counts[i, particle_type.value])
+            file_end = file_start + n_i
+            if path not in my or n_i == 0:
+                file_start = file_end
+                continue
+            if rng is not None:
+                lo = max(rng[0], file_start) - file_start
+                hi = min(rng[1], file_end) - file_start
+                if hi <= lo:
+                    file_start = file_end
+                    continue  # no overlap: file never opened
             with h5py.File(path, "r") as f:
                 key = f"{particle_type.common_hdf5_name}/{field}"
                 if key in f:
-                    parts.append(np.asarray(f[key]))
+                    ds = f[key]
+                    if rng is None:
+                        parts.append(np.asarray(ds))
+                    else:
+                        parts.append(ds[lo:hi])
+            file_start = file_end
         if not parts:
             return np.empty((0, *trailing), dtype=dtype)
         return np.concatenate(parts, axis=0)
@@ -362,6 +422,24 @@ class CatalogueTNG(CatalogueBase):
             self._len_type = self._group_field("GroupLenType")
         lens = self._len_type[:, particle_type.value]
         return np.concatenate([[0], np.cumsum(lens)])
+
+    def restrict_snapshot_to_halo(
+        self, halo_index: int, particle_types=None
+    ) -> None:
+        """O(halo) cutout: restrict the attached snapshot's reads to this
+        FoF group's contiguous particle slices (GroupLenType offsets —
+        illustris_python ``snapshot.loadHalo`` semantics). Every snapshot
+        getter then returns just the halo's particles; call
+        ``snapshot.clear_row_restriction()`` to undo."""
+        if not 0 <= halo_index < self._n_groups_total:
+            raise IndexError(
+                f"halo index {halo_index} outside [0, {self._n_groups_total})"
+            )
+        ranges = {}
+        for pt in particle_types or ParticleType.get_all():
+            offsets = self._membership_offsets(pt)
+            ranges[pt] = (int(offsets[halo_index]), int(offsets[halo_index + 1]))
+        self.snapshot.restrict_to_row_ranges(ranges)
 
     def get_halo_indexes_by_snapshot_particle(
         self, particle_type: ParticleType, snapshot_particle_ids=None

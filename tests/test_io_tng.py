@@ -135,3 +135,58 @@ class TestCatalogueTNG:
         cat = CatalogueTNG(cat_path, snap)
         n_bh = cat.get_number_of_haloes(ParticleType.black_hole)
         assert n_bh == int((extra["group_len_type"][:, 5] > 0).sum())
+
+
+class TestHaloCutout:
+    """O(halo) cutout reads via GroupLenType offsets (illustris_python
+    snapshot.loadHalo semantics): TNG snapshots store particles in
+    FoF-group order, so a halo is one contiguous row slice per type."""
+
+    def test_cutout_matches_membership(self, tng):
+        snap, cat_path, truth, extra, spec = tng
+        cat = CatalogueTNG(cat_path, snap)
+        gn = truth.group_numbers[ParticleType.gas]
+        member = (gn > 0) & (gn < 2**30)
+        target = int(np.bincount(gn[member] - 1).argmax())
+        try:
+            cat.restrict_snapshot_to_halo(target)
+            ids = snap.get_IDs(ParticleType.gas)
+            expected = truth.ids[ParticleType.gas][member & (gn == target + 1)]
+            assert sorted(ids) == sorted(expected)
+            assert snap.number_of_particles_this_rank(ParticleType.gas) == len(expected)
+            # positions come back unit-converted for just the cutout
+            pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
+            assert pos.shape == (len(expected), 3)
+        finally:
+            snap.clear_row_restriction()
+        assert snap.number_of_particles_this_rank(ParticleType.gas) == len(
+            truth.ids[ParticleType.gas]
+        )
+
+    def test_cutout_prunes_file_opens(self, tng, monkeypatch):
+        snap, cat_path, truth, extra, spec = tng
+        import astro_sph_tools_tpu.io.tng as tng_mod
+
+        cat = CatalogueTNG(cat_path, snap)
+        try:
+            cat.restrict_snapshot_to_halo(0)  # group 0: first rows of file 0
+            opens: list = []
+            real_file = tng_mod.h5py.File
+
+            def wrapper(path, *a, **kw):
+                opens.append(str(path))
+                return real_file(path, *a, **kw)
+
+            monkeypatch.setattr(tng_mod.h5py, "File", wrapper)
+            snap.get_IDs(ParticleType.gas)
+            snap_files = [o for o in opens if "snapdir" in o]
+            assert 0 < len(snap_files) < len(snap._file_paths)
+        finally:
+            monkeypatch.undo()
+            snap.clear_row_restriction()
+
+    def test_invalid_halo_index_raises(self, tng):
+        snap, cat_path, _, _, _ = tng
+        cat = CatalogueTNG(cat_path, snap)
+        with pytest.raises(IndexError):
+            cat.restrict_snapshot_to_halo(10**9)
