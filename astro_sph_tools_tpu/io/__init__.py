@@ -41,7 +41,12 @@ from .subfind import CatalogueSUBFIND
 from .swift import CatalogueSOAP, SnapshotSWIFT
 from .tng import CatalogueTNG, SnapshotTNG
 from .ionisation import IonisationTable_HM01, SupportedIons
-from .prefetch import stream_particle_blocks, streamed_deposit_2d
+from .packing import (
+    PackedParticles,
+    pack_particles_host,
+    unpack_particles_device,
+)
+from .prefetch import stream_macro_chunks, stream_particle_blocks, streamed_deposit_2d
 from .particle_filter import (
     LineOfSightParticleFilter,
     ParticleFilterFile,
@@ -75,6 +80,10 @@ __all__ = [
     "LineOfSightParticleFilter",
     "ParticleFilterFile",
     "SnapshotParticleFilter",
+    "PackedParticles",
+    "pack_particles_host",
+    "unpack_particles_device",
+    "stream_macro_chunks",
     "stream_particle_blocks",
     "streamed_deposit_2d",
     "MeanSphericalOverdensityAperture",
