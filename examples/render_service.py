@@ -79,10 +79,13 @@ def main() -> None:
     n = 120_000  # per chunk; a real service streams ~2^25 per macro-chunk
 
     # Chunk 0 runs the SYNCED engine: one host round-trip reads the counts,
-    # which calibrate static capacities for every later chunk. Chunks 1+
-    # run the zero-sync fused render — one program dispatch, no counts back
-    # to the host; the on-device `ok` flag certifies the capacities held
-    # (check it lazily; re-render the rare overflowing chunk synced).
+    # which calibrate static capacities for every later chunk
+    # (occupancy-based: count + 6*sqrt(count) headroom — ~1-3% inflation,
+    # which is why the fused render is now FASTER than the synced engine at
+    # north-star scale, NORTHSTAR_FUSED.json). Chunks 1+ run the zero-sync
+    # fused render — one program dispatch, no counts back to the host; the
+    # on-device `ok` flag certifies the capacities held (check it lazily;
+    # re-render the rare overflowing chunk synced).
     total = None
     caps = None
     pending_ok = []
