@@ -41,6 +41,14 @@ PARAMS = (
     Param("engine", None, "pallas (TPU fused) | coherent (snapshot-order fused) | xla (portable).", str, default="pallas"),
     Param("region", None, "x0,x1,y0,y1 map extent in cMpc (default full box).",
           conversion=comma_separated(float), default=None),
+    Param(
+        "region_pad", None,
+        "Loading-region margin in cMpc around --region so kernels that "
+        "straddle the map edge still contribute (default: 5% of the "
+        "smaller region side). Reads prune to the padded region via the "
+        "backend's spatial index (EAGLE block bboxes / SWIFT Cells).",
+        float, default=None,
+    ),
 )
 
 
@@ -82,6 +90,7 @@ def run(
     projection: str,
     engine: str,
     region,
+    region_pad: Optional[float] = None,
 ) -> int:
     from ..data_structures.particle_types import CoordinateAxes
 
@@ -89,6 +98,27 @@ def run(
     pt = ParticleType[particle_type]
     ax = CoordinateAxes.from_string(axis)
     i, j = ax.projection_plane
+
+    if region and len(region) != 4:
+        raise SystemExit("error: --region needs x0,x1,y0,y1")
+    if region and hasattr(snap, "restrict_data_comoving_loading_region"):
+        # O(region) IO: restrict loading to the (padded) map region before
+        # reading — the spatial index prunes to intersecting file chunks
+        box_full = float(snap.box_size.value[0])
+        pad = (
+            region_pad
+            if region_pad is not None
+            else 0.05 * min(region[1] - region[0], region[3] - region[2])
+        )
+        bounds = [[0.0, box_full] for _ in range(3)]
+        bounds[i] = [region[0] - pad, region[1] + pad]
+        bounds[j] = [region[2] - pad, region[3] + pad]
+        with timed_phase("restrict loading region"):
+            snap.restrict_data_comoving_loading_region(
+                bounds[0][0], bounds[0][1],
+                bounds[1][0], bounds[1][1],
+                bounds[2][0], bounds[2][1],
+            )
 
     with timed_phase("read snapshot fields"):
         pos = snap.get_positions(pt).to_value("Mpc")
@@ -120,8 +150,6 @@ def run(
 
     box = float(snap.box_size.value[0])
     if region:
-        if len(region) != 4:
-            raise SystemExit("error: --region needs x0,x1,y0,y1")
         extent = tuple(region)
     else:
         extent = (0.0, box, 0.0, box)

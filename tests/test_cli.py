@@ -187,3 +187,42 @@ class TestSightlinesCli:
         assert rc == 0
         with h5py.File(out, "r") as f:
             assert np.asarray(f["ray_x"]).shape == (2,)
+
+
+class TestRenderMapRestrictedIO:
+    def test_region_render_restricts_reads_and_matches_full(self, tmp_path):
+        """--region must both restrict the IO (spatial index) and produce
+        the same map as a full-box read over the same extent, given enough
+        --region-pad to cover boundary kernels."""
+        from astro_sph_tools_tpu.scripts.render_map import main
+        from astro_sph_tools_tpu.io.synthetic import (
+            SyntheticSnapshotSpec,
+            write_snapshot,
+        )
+
+        spec = SyntheticSnapshotSpec(
+            n_gas=2048, n_dm=32, n_star=8, n_bh=2, n_files=8,
+            spatial_order=True,
+        )
+        path, truth = write_snapshot(str(tmp_path), spec)
+
+        full = str(tmp_path / "full.hdf5")
+        rc = main([
+            "--snapshot", path, "--output", full, "--resolution", "32",
+            "--region", "2,6,3,7", "--region-pad", "100",  # pad > box: no IO pruning
+            "--engine", "xla",
+        ])
+        assert rc == 0
+        restricted = str(tmp_path / "restricted.hdf5")
+        rc = main([
+            "--snapshot", path, "--output", restricted, "--resolution", "32",
+            "--region", "2,6,3,7", "--region-pad", "3.0",
+            "--engine", "xla",
+        ])
+        assert rc == 0
+        with h5py.File(full, "r") as a, h5py.File(restricted, "r") as b:
+            sa = np.asarray(a["surface_density"])
+            sb = np.asarray(b["surface_density"])
+        assert sa.sum() > 0
+        # pad of 3 cMpc covers every kernel support (max h ~ 1 Mpc here)
+        np.testing.assert_allclose(sb, sa, rtol=1e-6, atol=1e-10)
