@@ -66,6 +66,20 @@ def stream_particle_blocks(
     n = host[fields[0]].shape[0]
 
     work: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_depth))
+    abandoned = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer abandoned the
+        stream — a producer blocked forever on queue.put outlives its test/
+        request and races later device work (observed: segfault in a JAX
+        compile-cache write with a leaked producer mid-device_put)."""
+        while not abandoned.is_set():
+            try:
+                work.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -78,10 +92,11 @@ def stream_particle_blocks(
                         block[name] = jax.device_put(jnp.asarray(chunk, dtype))
                     else:
                         block[name] = chunk
-                work.put(block)
-            work.put(_SENTINEL)
+                if not _put(block):
+                    return
+            _put(_SENTINEL)
         except Exception as err:  # propagate to consumer
-            work.put(err)
+            _put(err)
 
     thread = threading.Thread(target=producer, name="ast-prefetch", daemon=True)
     thread.start()
@@ -94,7 +109,13 @@ def stream_particle_blocks(
                 raise item
             yield item
     finally:
-        thread.join(timeout=1.0)
+        abandoned.set()
+        while True:  # unblock a producer waiting on a full queue
+            try:
+                work.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5.0)
 
 
 def streamed_deposit_2d(
@@ -180,15 +201,30 @@ def stream_macro_chunks(
             return jax.tree_util.tree_map(jax.device_put, host)
 
     work: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_depth))
+    abandoned = threading.Event()
+
+    def _put(item) -> bool:
+        # see stream_particle_blocks._put: never block forever after the
+        # consumer abandoned the stream
+        while not abandoned.is_set():
+            try:
+                work.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for ci in range(n_chunks):
+                if abandoned.is_set():
+                    return
                 dev = to_device(read_chunk(ci))
-                work.put(dev)
-            work.put(_SENTINEL)
+                if not _put(dev):
+                    return
+            _put(_SENTINEL)
         except Exception as err:  # propagate to consumer
-            work.put(err)
+            _put(err)
 
     thread = threading.Thread(
         target=producer, name="ast-macro-prefetch", daemon=True
@@ -203,4 +239,10 @@ def stream_macro_chunks(
                 raise item
             yield item
     finally:
-        thread.join(timeout=1.0)
+        abandoned.set()
+        while True:  # unblock a producer waiting on a full queue
+            try:
+                work.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5.0)

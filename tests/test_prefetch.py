@@ -92,3 +92,50 @@ class TestStreamedDeposit:
         )
         err = np.abs(img - expected).max() / np.abs(expected).max()
         assert err < 1e-4
+
+
+class TestAbandonedStream:
+    """A consumer that stops early must not leak a producer thread blocked
+    on queue.put — a leaked producer mid-device_put races later compile
+    work (observed segfault in a JAX cache write under the full suite)."""
+
+    def test_abandoned_block_stream_joins_producer(self, snap):
+        import threading
+
+        snapshot, *_ = snap
+        before = {t.name for t in threading.enumerate()}
+        stream = stream_particle_blocks(
+            snapshot, ParticleType.gas, ["masses"], chunk_size=64,
+            prefetch_depth=1, device_put=False,
+        )
+        next(stream)  # consume one block, then abandon
+        stream.close()  # triggers the generator's finally
+        leaked = [
+            t for t in threading.enumerate()
+            if t.name.startswith("ast-prefetch") and t.is_alive()
+        ]
+        for t in leaked:
+            t.join(timeout=5.0)
+        assert not any(t.is_alive() for t in leaked)
+        assert before  # silence unused warnings
+
+    def test_abandoned_macro_stream_joins_producer(self):
+        import threading
+
+        from astro_sph_tools_tpu.io.prefetch import stream_macro_chunks
+
+        def read_chunk(ci):
+            return {"x": np.arange(ci, ci + 4, dtype=np.float32)}
+
+        stream = stream_macro_chunks(
+            read_chunk, 50, prefetch_depth=1, to_device=lambda h: h
+        )
+        next(stream)
+        stream.close()
+        leaked = [
+            t for t in threading.enumerate()
+            if t.name.startswith("ast-macro-prefetch") and t.is_alive()
+        ]
+        for t in leaked:
+            t.join(timeout=5.0)
+        assert not any(t.is_alive() for t in leaked)
