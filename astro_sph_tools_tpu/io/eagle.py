@@ -400,6 +400,13 @@ class SnapshotEAGLE(SnapshotBase):
         O(box) once, after which every restriction and field read is
         O(region). Called automatically by the first
         ``restrict_data_*_loading_region``."""
+        if getattr(self, "_spatial_index_block_rows", None) not in (
+            None, block_rows
+        ):
+            # granularity changed: a stale coarser index would silently
+            # keep pruning at the old block size
+            self._spatial_index = {}
+        self._spatial_index_block_rows = block_rows
         for pt in ParticleType.get_all():
             if pt in self._spatial_index:
                 continue

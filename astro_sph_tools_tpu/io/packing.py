@@ -106,9 +106,14 @@ def pack_particles_host(
     """
     n = x.shape[0]
     inv = np.float64(65536.0) / box
-    # u = floor((x - x0) / box * 65536), clipped into the box
-    x_q = np.clip((x - x0) * inv, 0, 65535.999).astype(np.uint16)
-    y_q = np.clip((y - y0) * inv, 0, 65535.999).astype(np.uint16)
+    # u = floor((x - x0) / box * 65536), clipped into the box. The upper
+    # clip must be exactly representable in float32 (position arrays may be
+    # f32, and a non-representable bound like 65535.999 rounds UP to
+    # 65536.0f, which .astype(np.uint16) would wrap to 0 — teleporting
+    # far-edge particles across the box). 65535.0 is exact in f32 and
+    # floors to the same last cell.
+    x_q = np.clip((x - x0) * inv, 0, 65535.0).astype(np.uint16)
+    y_q = np.clip((y - y0) * inv, 0, 65535.0).astype(np.uint16)
     h_q = np.asarray(h, dtype=np.float16)
     if field_scales is None:
         field_scales = (1.0,) * len(fields)

@@ -84,6 +84,8 @@ def stream_particle_blocks(
     def producer():
         try:
             for start in range(0, n, chunk_size):
+                if abandoned.is_set():
+                    return
                 stop = min(start + chunk_size, n)
                 block = {"start": start, "stop": stop}
                 for name in fields:

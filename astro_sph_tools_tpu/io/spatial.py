@@ -31,10 +31,10 @@ def wrapped_interval_mask(
     """Membership of values (in [0, box)) in the possibly-wrapped [lo, hi)."""
     if hi - lo <= 0:  # zero-width (or inverted) region selects nothing
         return np.zeros(values.shape[0], dtype=bool)
+    if hi - lo >= box:  # full axis — MUST test before wrapping the bounds
+        return np.ones(values.shape[0], dtype=bool)
     lo = lo % box
     hi_m = hi % box
-    if hi - lo >= box:  # full axis
-        return np.ones(values.shape[0], dtype=bool)
     if lo <= hi_m and hi_m != lo:
         return (values >= lo) & (values < hi_m)
     # wrapped: [lo, box) U [0, hi)

@@ -204,26 +204,32 @@ def _morton_key_3d(pos: np.ndarray, box: float, bits: int = 7) -> np.ndarray:
     return key
 
 
+def _reorder_type(p: SyntheticParticles, pt, order: np.ndarray) -> None:
+    """Apply one permutation to every per-type array of ``pt`` (in place) —
+    the single place new SyntheticParticles fields must be threaded into."""
+    for d in (p.positions, p.velocities, p.masses, p.smoothing, p.ids,
+              p.group_numbers, p.metallicity, p.enrichment_z):
+        if pt in d:
+            d[pt] = d[pt][order]
+    if pt in p.abundances:
+        p.abundances[pt] = {
+            sym: arr[order] for sym, arr in p.abundances[pt].items()
+        }
+    if pt == ParticleType.gas:
+        p.density = p.density[order]
+        p.temperature = p.temperature[order]
+        p.sfr = p.sfr[order]
+    if pt == ParticleType.black_hole and p.bh_subgrid_mass is not None:
+        p.bh_subgrid_mass = p.bh_subgrid_mass[order]
+
+
 def _sort_spatially(p: SyntheticParticles, box: float) -> None:
     """Reorder every per-type array by Morton key of position (in place)."""
     for pt in list(p.positions):
         order = np.argsort(
             _morton_key_3d(p.positions[pt], box), kind="stable"
         )
-        for d in (p.positions, p.velocities, p.masses, p.smoothing, p.ids,
-                  p.group_numbers, p.metallicity, p.enrichment_z):
-            if pt in d:
-                d[pt] = d[pt][order]
-        if pt in p.abundances:
-            p.abundances[pt] = {
-                sym: arr[order] for sym, arr in p.abundances[pt].items()
-            }
-        if pt == ParticleType.gas:
-            p.density = p.density[order]
-            p.temperature = p.temperature[order]
-            p.sfr = p.sfr[order]
-        if pt == ParticleType.black_hole and p.bh_subgrid_mass is not None:
-            p.bh_subgrid_mass = p.bh_subgrid_mass[order]
+        _reorder_type(p, pt, order)
 
 
 def write_snapshot(
@@ -491,20 +497,7 @@ def _sort_into_swift_cells(
         )
         cell = (cell3[:, 0] * dim + cell3[:, 1]) * dim + cell3[:, 2]
         order = np.argsort(cell, kind="stable")
-        for d in (p.positions, p.velocities, p.masses, p.smoothing, p.ids,
-                  p.group_numbers, p.metallicity, p.enrichment_z):
-            if pt in d:
-                d[pt] = d[pt][order]
-        if pt in p.abundances:
-            p.abundances[pt] = {
-                sym: arr[order] for sym, arr in p.abundances[pt].items()
-            }
-        if pt == ParticleType.gas:
-            p.density = p.density[order]
-            p.temperature = p.temperature[order]
-            p.sfr = p.sfr[order]
-        if pt == ParticleType.black_hole and p.bh_subgrid_mass is not None:
-            p.bh_subgrid_mass = p.bh_subgrid_mass[order]
+        _reorder_type(p, pt, order)
         counts = np.bincount(cell, minlength=nc).astype(np.int64)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         layout[pt] = (counts, offsets)

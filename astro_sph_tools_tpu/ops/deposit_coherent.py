@@ -1054,8 +1054,13 @@ def caps_from_layout(layout: CoherentLayout, *,
     small first chunk safe to reuse."""
     if slack is None:
         grow = lambda v: int(v + 6.0 * np.sqrt(v) + 8) if v else 0
+        bucket_grow = lambda v: grow(v) + 8
     else:
         grow = lambda v: int(np.ceil(v * slack)) if v else 0
+        # keep the legacy additive sqrt headroom: float slack is the
+        # escape hatch for genuinely drifting chunk statistics, where
+        # small buckets need the extra rows most
+        bucket_grow = lambda v: grow(v) + 8 + int(2.0 * np.sqrt(v))
     stats = layout.stats
     b0 = max(4096, -(-grow(stats["n_candidates"]) // 4096) * 4096)
     raw = [stats["tail_bucket_rows"][t] for t in _TAIL_BUCKETS[1:]]
@@ -1065,7 +1070,7 @@ def caps_from_layout(layout: CoherentLayout, *,
         for i in range(nb)
     ]
     bucket_caps = tuple(
-        (grow(v) + 8) if act else 0 for v, act in zip(raw, active)
+        bucket_grow(v) if act else 0 for v, act in zip(raw, active)
     )
     lc = stats["level_tail_counts"][: len(levels)]
     lmax = max((li for li, v in enumerate(lc) if v), default=-1)

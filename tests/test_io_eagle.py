@@ -449,3 +449,20 @@ class TestNumPartHighWord:
         snap = SnapshotEAGLE(path)
         assert snap.number_of_particles(ParticleType.gas) == 100
         assert snap.number_of_particles(ParticleType.dark_matter) == 50
+
+
+def test_padded_full_axis_region_selects_everything(tmp_path):
+    """A region wider than the box with out-of-box bounds (e.g. the render
+    CLI's padded full-box region, [-pad, box+pad)) must select the whole
+    axis — regression for the wrapped-interval full-axis check running
+    after the modulo (it collapsed the axis to a thin wrapped slab)."""
+    from astro_sph_tools_tpu.io.synthetic import SyntheticSnapshotSpec, write_snapshot
+    from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
+
+    spec = SyntheticSnapshotSpec(n_gas=512, n_dm=16, n_star=8, n_bh=2, n_files=2)
+    path, truth = write_snapshot(str(tmp_path), spec)
+    snap = SnapshotEAGLE(path)
+    snap.restrict_data_comoving_loading_region(
+        -0.5, 10.5, -0.5, 10.5, -0.5, 10.5
+    )
+    assert snap.number_of_particles_this_rank(ParticleType.gas) == 512

@@ -96,3 +96,17 @@ def test_raw_unit_folding(particles):
     assert np.abs(xd - x).max() <= 0.5 * cw + 5e-6
     assert np.abs(hd / h - 1.0).max() < 6e-4
     assert np.abs(fd[0] / mass - 1.0).max() < 6e-4
+
+
+def test_f32_far_edge_positions_do_not_wrap():
+    """Float32 positions at the far box edge must quantise to the last
+    fixed-point cell, not wrap to 0 (the clip bound must be exactly
+    representable in f32)."""
+    box = 10.0
+    x = np.array([np.nextafter(np.float32(box), np.float32(0.0)),
+                  np.float32(box)], dtype=np.float32)
+    y = np.zeros(2, np.float32)
+    h = np.ones(2, np.float32)
+    p = pack_particles_host(x, y, h, [np.ones(2, np.float32)], box=box)
+    assert int(p.x_q.max()) == 65535
+    assert int(p.x_q.min()) >= 65534  # far edge stays at the far edge
