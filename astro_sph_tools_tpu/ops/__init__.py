@@ -14,6 +14,7 @@ from .deposit_coherent import (
     CoherentCaps,
     CoherentLayout,
     caps_from_layout,
+    caps_union,
     deposit_2d_coherent,
     deposit_2d_coherent_fused,
     deposit_coherent,
@@ -76,6 +77,7 @@ __all__ = [
     "deposit_2d_auto",
     "CoherentCaps",
     "caps_from_layout",
+    "caps_union",
     "deposit_2d_coherent",
     "deposit_2d_coherent_fused",
     "deposit_coherent",
