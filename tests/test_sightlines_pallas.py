@@ -166,13 +166,26 @@ def test_zero_rays():
 def test_ray_batching_matches_single_pass(monkeypatch):
     """The >_RAY_BATCH path splits rays into batches; force a tiny batch and
     check batched == unbatched (per-ray independence)."""
+    import jax
+
     import astro_sph_tools_tpu.ops.sightlines_pallas as sp
 
-    x, y, h, v, rx, ry, box = _data(n=15000, rays=301)
-    whole = np.asarray(column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box))
-    monkeypatch.setattr(sp, "_RAY_BATCH", 100)
-    batched = np.asarray(
-        sp.column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box)
-    )
+    # the persistent compile-cache zstd roundtrip of this test's (301-ray
+    # interpret-mode) executable segfaulted the interpreter twice in full
+    # suite runs — once in the cache write, once in the read of the
+    # half-written entry. Compile fresh instead of touching the cache.
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        x, y, h, v, rx, ry, box = _data(n=15000, rays=301)
+        whole = np.asarray(
+            column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box)
+        )
+        monkeypatch.setattr(sp, "_RAY_BATCH", 100)
+        batched = np.asarray(
+            sp.column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box)
+        )
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
     assert batched.shape == whole.shape
     np.testing.assert_allclose(batched, whole, rtol=0, atol=1e-6 * np.abs(whole).max())
