@@ -171,11 +171,16 @@ def test_ray_batching_matches_single_pass(monkeypatch):
     import astro_sph_tools_tpu.ops.sightlines_pallas as sp
 
     # the persistent compile-cache zstd roundtrip of this test's (301-ray
-    # interpret-mode) executable segfaulted the interpreter twice in full
-    # suite runs — once in the cache write, once in the read of the
-    # half-written entry. Compile fresh instead of touching the cache.
+    # interpret-mode) executables segfaulted the interpreter three times in
+    # full suite runs (twice reading, once writing). Compile fresh instead
+    # of touching the cache. NOTE: the enable flag alone is NOT enough —
+    # jax's is_cache_used() latches its decision once per process, so the
+    # in-memory cache object must be reset for the flag to be re-read.
+    from jax._src import compilation_cache as cc
+
     prev = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
     try:
         x, y, h, v, rx, ry, box = _data(n=15000, rays=301)
         whole = np.asarray(
@@ -187,5 +192,6 @@ def test_ray_batching_matches_single_pass(monkeypatch):
         )
     finally:
         jax.config.update("jax_enable_compilation_cache", prev)
+        cc.reset_cache()
     assert batched.shape == whole.shape
     np.testing.assert_allclose(batched, whole, rtol=0, atol=1e-6 * np.abs(whole).max())
