@@ -165,23 +165,30 @@ def test_zero_rays():
 
 def test_ray_batching_matches_single_pass(monkeypatch):
     """The >_RAY_BATCH path splits rays into batches; force a tiny batch and
-    check batched == unbatched (per-ray independence)."""
-    import jax
+    check batched == unbatched (per-ray independence).
 
-    import astro_sph_tools_tpu.ops.sightlines_pallas as sp
+    Runs in a SUBPROCESS: compiling this test's 301-ray program late in a
+    long-lived suite process segfaulted XLA-CPU four times (in the compile
+    itself once the cache paths were ruled out), while every standalone run
+    passes. Process isolation sidesteps the accumulated-state crash and
+    keeps one interpreter fault from killing the whole suite."""
+    import os
+    import subprocess
+    import sys
 
-    # the persistent compile-cache zstd roundtrip of this test's (301-ray
-    # interpret-mode) executables segfaulted the interpreter three times in
-    # full suite runs (twice reading, once writing). Compile fresh instead
-    # of touching the cache. NOTE: the enable flag alone is NOT enough —
-    # jax's is_cache_used() latches its decision once per process, so the
-    # in-memory cache object must be reset for the flag to be re-read.
-    from jax._src import compilation_cache as cc
+    if os.environ.get("AST_RAY_BATCH_INNER") == "1":
+        import jax
 
-    prev = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    cc.reset_cache()
-    try:
+        import astro_sph_tools_tpu.ops.sightlines_pallas as sp
+
+        # keep the giant one-off executables out of the shared persistent
+        # cache (their zstd roundtrip has also segfaulted; note jax's
+        # is_cache_used() latches per process — reset_cache re-reads the
+        # flag)
+        from jax._src import compilation_cache as cc
+
+        jax.config.update("jax_enable_compilation_cache", False)
+        cc.reset_cache()
         x, y, h, v, rx, ry, box = _data(n=15000, rays=301)
         whole = np.asarray(
             column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box)
@@ -190,8 +197,25 @@ def test_ray_batching_matches_single_pass(monkeypatch):
         batched = np.asarray(
             sp.column_integrate_pallas(x, y, h, v, rx, ry, periodic_box=box)
         )
-    finally:
-        jax.config.update("jax_enable_compilation_cache", prev)
-        cc.reset_cache()
-    assert batched.shape == whole.shape
-    np.testing.assert_allclose(batched, whole, rtol=0, atol=1e-6 * np.abs(whole).max())
+        assert batched.shape == whole.shape
+        np.testing.assert_allclose(
+            batched, whole, rtol=0, atol=1e-6 * np.abs(whole).max()
+        )
+        return
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+            "--slow", f"{os.path.abspath(__file__)}::"
+            "test_ray_batching_matches_single_pass",
+        ],
+        env={**os.environ, "AST_RAY_BATCH_INNER": "1"},
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, (
+        f"isolated run failed rc={r.returncode}\n"
+        f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    )
