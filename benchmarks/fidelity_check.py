@@ -253,6 +253,36 @@ def main() -> None:
     )
     print(cases[-1], flush=True)
 
+    # zero-sync fused engine vs the synced coherent engine, COMPILED (the
+    # r4 bench headline): identical math on capacity-padded schedules with
+    # occupancy caps — dead-lane padding must not perturb the deposit
+    from astro_sph_tools_tpu.ops.deposit_coherent import (
+        caps_from_layout,
+        deposit_2d_coherent_fused,
+        tile_particles_coherent,
+    )
+
+    lay = tile_particles_coherent(xc, yc, hc, np.stack([mc]), spec_p)
+    caps = caps_from_layout(lay)
+    del lay
+    img_fused, okf = deposit_2d_coherent_fused(
+        xc, yc, hc, np.stack([mc]), spec_p, caps, precision="bf16x2"
+    )
+    img_fused = np.asarray(img_fused)[0]
+    cases.append(
+        {
+            "case": "zero-sync fused engine vs synced coherent (compiled, "
+            "identical inputs, occupancy caps)",
+            "precision": "bf16x2",
+            "n_particles": n_c,
+            "caps_ok_flag": bool(okf),
+            "max_rel_err": float(
+                np.abs(img_fused - img_coh).max() / np.abs(img_coh).max()
+            ),
+        }
+    )
+    print(cases[-1], flush=True)
+
     result = {
         "backend": backend,
         "oracle": "tests/oracles.py project_oracle_fast (f64 scatter, validated "
