@@ -471,7 +471,12 @@ class SnapshotEAGLE(SnapshotBase):
 
     def _build_region_masks(self) -> None:
         box = float(self.box_size.value[0])
-        self.build_spatial_index()
+        # preserve a user-chosen index granularity: the default would
+        # otherwise clobber and rebuild a custom-block_rows index
+        self.build_spatial_index(
+            getattr(self, "_spatial_index_block_rows", None)
+            or SPATIAL_INDEX_BLOCK_ROWS
+        )
         for pt in ParticleType.get_all():
             if self._num_part_total[pt.value] == 0:
                 self._region_masks[pt] = None

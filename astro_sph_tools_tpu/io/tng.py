@@ -124,25 +124,47 @@ class SnapshotTNG(SnapshotBase):
     def _get_number_of_particles(self) -> dict[ParticleType, int]:
         return {pt: int(self._num_part_total[pt.value]) for pt in ParticleType.get_all()}
 
-    def _get_number_of_particles_this_rank(self) -> dict[ParticleType, int]:
+    def _file_row_overlaps(self, particle_type: ParticleType):
+        """Yield ``(path, local_lo, local_hi, global_lo)`` for every
+        this-process file slice an active row restriction selects (whole
+        files when unrestricted). The single source of truth walked by
+        reads, counts, and global-row-index queries — keeping them in
+        lockstep by construction."""
+        rng = self._row_ranges.get(particle_type)
         my = set(self._my_files)
-        out = {}
-        for pt in ParticleType.get_all():
-            rng = self._row_ranges.get(pt)
-            total = 0
-            file_start = 0
-            for i, path in enumerate(self._file_paths):
-                n_i = int(self._per_file_counts[i, pt.value])
-                if path in my:
-                    if rng is None:
-                        total += n_i
-                    else:
-                        lo = max(rng[0], file_start)
-                        hi = min(rng[1], file_start + n_i)
-                        total += max(0, hi - lo)
-                file_start += n_i
-            out[pt] = total
-        return out
+        file_start = 0
+        for i, path in enumerate(self._file_paths):
+            n_i = int(self._per_file_counts[i, particle_type.value])
+            file_end = file_start + n_i
+            if path in my and n_i > 0:
+                if rng is None:
+                    yield path, 0, n_i, file_start
+                else:
+                    lo = max(rng[0], file_start) - file_start
+                    hi = min(rng[1], file_end) - file_start
+                    if hi > lo:
+                        yield path, lo, hi, file_start + lo
+            file_start = file_end
+
+    def global_row_indexes(self, particle_type: ParticleType) -> np.ndarray:
+        """Global snapshot row index of each particle this process's reads
+        return (honouring any active row restriction) — the coordinate the
+        GroupLenType membership offsets are defined in."""
+        parts = [
+            np.arange(g_lo, g_lo + (hi - lo), dtype=np.int64)
+            for _, lo, hi, g_lo in self._file_row_overlaps(particle_type)
+        ]
+        if not parts:
+            return np.empty((0,), dtype=np.int64)
+        return np.concatenate(parts)
+
+    def _get_number_of_particles_this_rank(self) -> dict[ParticleType, int]:
+        return {
+            pt: sum(
+                hi - lo for _, lo, hi, _ in self._file_row_overlaps(pt)
+            )
+            for pt in ParticleType.get_all()
+        }
 
     # -- row-range restriction (illustris loadHalo-style cutouts) ----------------
     def restrict_to_row_ranges(
@@ -170,31 +192,12 @@ class SnapshotTNG(SnapshotBase):
 
     # -- raw reads -----------------------------------------------------------------
     def _read_dataset(self, particle_type: ParticleType, field: str, dtype=np.float64, trailing=()):
-        rng = self._row_ranges.get(particle_type)
-        my = set(self._my_files)
         parts = []
-        file_start = 0
-        for i, path in enumerate(self._file_paths):
-            n_i = int(self._per_file_counts[i, particle_type.value])
-            file_end = file_start + n_i
-            if path not in my or n_i == 0:
-                file_start = file_end
-                continue
-            if rng is not None:
-                lo = max(rng[0], file_start) - file_start
-                hi = min(rng[1], file_end) - file_start
-                if hi <= lo:
-                    file_start = file_end
-                    continue  # no overlap: file never opened
+        for path, lo, hi, _ in self._file_row_overlaps(particle_type):
             with h5py.File(path, "r") as f:
                 key = f"{particle_type.common_hdf5_name}/{field}"
                 if key in f:
-                    ds = f[key]
-                    if rng is None:
-                        parts.append(np.asarray(ds))
-                    else:
-                        parts.append(ds[lo:hi])
-            file_start = file_end
+                    parts.append(f[key][lo:hi])
         if not parts:
             return np.empty((0, *trailing), dtype=dtype)
         return np.concatenate(parts, axis=0)
@@ -445,10 +448,14 @@ class CatalogueTNG(CatalogueBase):
         self, particle_type: ParticleType, snapshot_particle_ids=None
     ) -> np.ndarray:
         """Halo index per particle from cumulative GroupLenType offsets (TNG
-        snapshots store particles grouped by halo, FOF members first)."""
+        snapshots store particles grouped by halo, FOF members first).
+
+        Uses the snapshot's GLOBAL row indexes, so results stay correct
+        while a row restriction (halo cutout) is active — the offsets are
+        defined in global snapshot rows, not in this process's local
+        ordering."""
         offsets = self._membership_offsets(particle_type)
-        n = self.snapshot.number_of_particles_this_rank(particle_type)
-        idx = np.arange(n, dtype=np.int64)
+        idx = self.snapshot.global_row_indexes(particle_type)
         halo_index = np.searchsorted(offsets, idx, side="right") - 1
         halo_index[idx >= offsets[-1]] = -1  # outer fuzz beyond all groups
         if snapshot_particle_ids is None:
@@ -466,6 +473,10 @@ class CatalogueTNG(CatalogueBase):
         return np.where(idx >= 0, idx + 1, -1)
 
     def get_particle_IDs(self, particle_type: ParticleType, include_unbound: bool = True) -> np.ndarray:
+        """IDs of FoF-bound particles (global rows below the last offset) —
+        restriction-aware: with an active cutout this returns the bound
+        subset of the restricted rows."""
         offsets = self._membership_offsets(particle_type)
         ids = self.snapshot.get_IDs(particle_type)
-        return ids[: offsets[-1]]
+        rows = self.snapshot.global_row_indexes(particle_type)
+        return ids[rows < offsets[-1]]

@@ -1085,6 +1085,15 @@ def caps_union(*all_caps: CoherentCaps) -> CoherentCaps:
     calibrations into one set every program can share."""
     if not all_caps:
         raise ValueError("caps_union needs at least one CoherentCaps")
+    for name in ("bucket_caps", "level_caps"):
+        lengths = {len(getattr(c, name)) for c in all_caps}
+        if len(lengths) > 1:
+            # zip would silently truncate to the shortest — an
+            # under-capacity union that drops deep-level tail work
+            raise ValueError(
+                f"caps_union: mismatched {name} lengths {sorted(lengths)} "
+                "(calibrate every shard with the same levels)"
+            )
     return CoherentCaps(
         b0=max(c.b0 for c in all_caps),
         bucket_caps=tuple(

@@ -16,8 +16,16 @@ cd "$(dirname "$0")/.."
 
 rc=0
 
+# never forward --slow into the single-process fast lane: that would run
+# the whole slow lane in one long-lived process — the exact crash mode
+# this script exists to avoid
+fast_args=()
+for a in "$@"; do
+    [ "$a" = "--slow" ] || fast_args+=("$a")
+done
+
 echo "=== fast lane (single process) ==="
-python -m pytest tests/ -q -p no:cacheprovider "$@" || rc=1
+python -m pytest tests/ -q -p no:cacheprovider ${fast_args[@]+"${fast_args[@]}"} || rc=1
 
 slow_files=$(grep -l "^pytestmark = pytest.mark.slow" tests/test_*.py)
 for f in $slow_files; do

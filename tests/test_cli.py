@@ -190,39 +190,96 @@ class TestSightlinesCli:
 
 
 class TestRenderMapRestrictedIO:
-    def test_region_render_restricts_reads_and_matches_full(self, tmp_path):
-        """--region must both restrict the IO (spatial index) and produce
-        the same map as a full-box read over the same extent, given enough
-        --region-pad to cover boundary kernels."""
-        from astro_sph_tools_tpu.scripts.render_map import main
+    def test_region_bounds_construction(self, tmp_path, monkeypatch):
+        """--region/--region-pad must restrict the LOADING region on the
+        correct axes (map plane padded, projection axis full box)."""
+        from astro_sph_tools_tpu.io.eagle import SnapshotEAGLE
         from astro_sph_tools_tpu.io.synthetic import (
             SyntheticSnapshotSpec,
             write_snapshot,
         )
+        from astro_sph_tools_tpu.scripts.render_map import main
+
+        spec = SyntheticSnapshotSpec(n_gas=512, n_dm=16, n_star=8, n_bh=2)
+        path, _ = write_snapshot(str(tmp_path), spec)
+        captured = {}
+        real = SnapshotEAGLE.restrict_data_comoving_loading_region
+
+        def spy(self, *bounds):
+            captured["bounds"] = bounds
+            return real(self, *bounds)
+
+        monkeypatch.setattr(
+            SnapshotEAGLE, "restrict_data_comoving_loading_region", spy
+        )
+        out = str(tmp_path / "m.hdf5")
+        rc = main([
+            "--snapshot", path, "--output", out, "--resolution", "16",
+            "--axis", "y",  # projection plane = (z, x); y stays full box
+            "--region", "2,6,3,7", "--region-pad", "0.5",
+            "--engine", "xla",
+        ])
+        assert rc == 0
+        zx0, zx1, y0, y1, xx0, xx1 = captured["bounds"]
+        # axis "y": projection_plane = (i, j); i maps region x-range, j the
+        # y-range; the remaining axis spans the box
+        i, j = 0, 2  # CoordinateAxes.Y.projection_plane
+        b = [[zx0, zx1], [y0, y1], [xx0, xx1]]
+        assert b[i] == [2 - 0.5, 6 + 0.5]
+        assert b[j] == [3 - 0.5, 7 + 0.5]
+        assert b[1] == [0.0, 10.0]
+
+    def test_region_render_prunes_reads_and_matches_full(self, tmp_path, monkeypatch):
+        """A restricted render must read fewer file rows than a full-pad
+        render while producing the same map, given a pad covering every
+        kernel support (h_max ~0.79 Mpc at this particle count => 2h < 1.6)."""
+        import astro_sph_tools_tpu.io.eagle as eagle_mod
+        from astro_sph_tools_tpu.io.synthetic import (
+            SyntheticSnapshotSpec,
+            write_snapshot,
+        )
+        from astro_sph_tools_tpu.scripts.render_map import main
 
         spec = SyntheticSnapshotSpec(
-            n_gas=2048, n_dm=32, n_star=8, n_bh=2, n_files=8,
+            n_gas=65536, n_dm=32, n_star=8, n_bh=2, n_files=16,
             spatial_order=True,
         )
         path, truth = write_snapshot(str(tmp_path), spec)
 
+        def run(out, pad, opens):
+            real_file = h5py.File
+
+            def wrapper(p_, *a, **kw):
+                opens.append(str(p_))
+                return real_file(p_, *a, **kw)
+
+            with pytest.MonkeyPatch.context() as mp:
+                mp.setattr(eagle_mod.h5py, "File", wrapper)
+                rc = main([
+                    "--snapshot", path, "--output", out, "--resolution", "32",
+                    "--region", "1.8,3.0,1.8,3.0", "--region-pad", str(pad),
+                    "--engine", "xla",
+                ])
+            assert rc == 0
+
+        full_opens: list = []
+        reg_opens: list = []
         full = str(tmp_path / "full.hdf5")
-        rc = main([
-            "--snapshot", path, "--output", full, "--resolution", "32",
-            "--region", "2,6,3,7", "--region-pad", "100",  # pad > box: no IO pruning
-            "--engine", "xla",
-        ])
-        assert rc == 0
         restricted = str(tmp_path / "restricted.hdf5")
-        rc = main([
-            "--snapshot", path, "--output", restricted, "--resolution", "32",
-            "--region", "2,6,3,7", "--region-pad", "3.0",
-            "--engine", "xla",
-        ])
-        assert rc == 0
+        run(full, 100.0, full_opens)     # pad > box: reads everything
+        run(restricted, 1.6, reg_opens)  # honest pad (2*h_max ~ 1.57): must prune
         with h5py.File(full, "r") as a, h5py.File(restricted, "r") as b:
             sa = np.asarray(a["surface_density"])
             sb = np.asarray(b["surface_density"])
         assert sa.sum() > 0
-        # pad of 3 cMpc covers every kernel support (max h ~ 1 Mpc here)
-        np.testing.assert_allclose(sb, sa, rtol=1e-6, atol=1e-10)
+        # contributor sets are identical; accumulation order differs between
+        # the two read batchings, so allow f32 reduction-order noise
+        np.testing.assert_allclose(sb, sa, rtol=1e-5, atol=1e-10)
+        # the padded region (0.2..4.6)^2 x full z sits inside the low-xy
+        # quadrant and selects ~6/16 Morton-ordered files (library-level
+        # pruning is pinned in test_io_eagle); the one-time index build
+        # opens every file once, so the IO saving shows in TOTAL opens:
+        # every per-field read loop touches only the selected files
+        snap_full = [o for o in full_opens if "snap_" in o]
+        snap_reg = [o for o in reg_opens if "snap_" in o]
+        assert len(snap_reg) < 0.75 * len(snap_full)

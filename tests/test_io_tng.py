@@ -190,3 +190,24 @@ class TestHaloCutout:
         cat = CatalogueTNG(cat_path, snap)
         with pytest.raises(IndexError):
             cat.restrict_snapshot_to_halo(10**9)
+
+
+def test_membership_correct_under_restriction(tng):
+    """Membership queries must use GLOBAL row indexes while a halo cutout
+    is active: every particle of halo k must be labelled k, not 0, and
+    get_particle_IDs must return the bound subset of the cutout."""
+    snap, cat_path, truth, extra, spec = tng
+    cat = CatalogueTNG(cat_path, snap)
+    gn = truth.group_numbers[ParticleType.gas]
+    member = (gn > 0) & (gn < 2**30)
+    target = int(np.bincount(gn[member] - 1, minlength=spec.n_groups).argmax())
+    try:
+        cat.restrict_snapshot_to_halo(target)
+        labels = cat.get_halo_indexes_by_snapshot_particle(ParticleType.gas)
+        assert len(labels) > 0
+        np.testing.assert_array_equal(labels, target)
+        bound_ids = cat.get_particle_IDs(ParticleType.gas)
+        expected = truth.ids[ParticleType.gas][member & (gn == target + 1)]
+        assert sorted(bound_ids) == sorted(expected)
+    finally:
+        snap.clear_row_restriction()
