@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import glob
 import re
+import threading
 from typing import Optional, Sequence, Union
 
 import h5py
@@ -129,8 +130,14 @@ class SnapshotEAGLE(SnapshotBase):
         self._region_rows: dict[ParticleType, Optional[list]] = {}
         self._regions: Optional[list[tuple]] = None
         #: per type: per-my-file (n_rows, block_rows, mins, maxs) coordinate
-        #: bounding boxes (internal units); built lazily on first restriction
+        #: bounding boxes (internal units); built lazily on first
+        #: region-restricted access OF THAT TYPE (a gas-only regional read
+        #: never scans DM/star/BH coordinates)
         self._spatial_index: dict[ParticleType, Optional[list]] = {}
+        #: guards the lazy per-type region-selection build (read_async can
+        #: drive _read_dataset from multiple threads); RLock because the
+        #: build itself reads coordinates through _read_dataset
+        self._region_lock = threading.RLock()
 
         box_mpc = (
             self._box_internal
@@ -208,15 +215,20 @@ class SnapshotEAGLE(SnapshotBase):
         return {pt: int(self._num_part_total[pt.value]) for pt in ParticleType.get_all()}
 
     def _get_number_of_particles_this_rank(self) -> dict[ParticleType, int]:
-        out = {}
-        for pt in ParticleType.get_all():
-            mask = self._region_masks.get(pt)
-            if mask is not None:
-                out[pt] = int(mask.sum())
-            else:
-                my_idx = [self._file_paths.index(p) for p in self._my_files]
-                out[pt] = int(self._per_file_counts[my_idx, pt.value].sum())
-        return out
+        return {
+            pt: self._get_number_of_particles_this_rank_single(pt)
+            for pt in ParticleType.get_all()
+        }
+
+    def _get_number_of_particles_this_rank_single(
+        self, particle_type: ParticleType
+    ) -> int:
+        self._ensure_region_selection(particle_type)
+        mask = self._region_masks.get(particle_type)
+        if mask is not None:
+            return int(mask.sum())
+        my_idx = [self._file_paths.index(p) for p in self._my_files]
+        return int(self._per_file_counts[my_idx, particle_type.value].sum())
 
     # -- raw reads -----------------------------------------------------------
     def _read_dataset(
@@ -230,6 +242,7 @@ class SnapshotEAGLE(SnapshotBase):
         opened), matching pyread_eagle's hash-cell ``select_region``
         semantics (`_SnapshotEAGLE.py:115-117,176-310`): a 1%-volume cutout
         costs ~1% of the box's IO, not 100%."""
+        self._ensure_region_selection(particle_type)
         ranges = self._region_rows.get(particle_type)
         parts = []
         group_seen = False
@@ -366,7 +379,8 @@ class SnapshotEAGLE(SnapshotBase):
         self._regions = [tuple(b[i] for b in bounds) for i in range(n_regions)]
         self._region_masks = {}
         self._region_rows = {}
-        self._build_region_masks()
+        # selection (spatial index + membership mask) is built lazily per
+        # particle type on first access — see _ensure_region_selection
         self._update_number_of_particles()
 
     def restrict_data_proper_loading_region(self, min_x, max_x, min_y, max_y, min_z, max_z):
@@ -386,7 +400,9 @@ class SnapshotEAGLE(SnapshotBase):
 
     # -- spatial index: per-block coordinate bounding boxes ---------------------
     def build_spatial_index(
-        self, block_rows: int = SPATIAL_INDEX_BLOCK_ROWS
+        self,
+        block_rows: int = SPATIAL_INDEX_BLOCK_ROWS,
+        particle_types: Optional[Sequence[ParticleType]] = None,
     ) -> None:
         """One streaming pass per (file, particle type) over ``Coordinates``,
         recording a bounding box per ``block_rows`` consecutive rows.
@@ -397,9 +413,11 @@ class SnapshotEAGLE(SnapshotBase):
         tables: EAGLE's Peano-Hilbert storage order makes row blocks
         spatially compact, so block bounding boxes prune nearly as sharply
         as hash cells. The index is cached on the instance; the pass is
-        O(box) once, after which every restriction and field read is
-        O(region). Called automatically by the first
-        ``restrict_data_*_loading_region``."""
+        O(box) once per type, after which every restriction and field read
+        is O(region). Built automatically — per particle type, on that
+        type's first region-restricted access — so a gas-only regional
+        read never streams DM/star/BH coordinates. Pass ``particle_types``
+        to index a subset explicitly; the default indexes every type."""
         if getattr(self, "_spatial_index_block_rows", None) not in (
             None, block_rows
         ):
@@ -407,7 +425,7 @@ class SnapshotEAGLE(SnapshotBase):
             # keep pruning at the old block size
             self._spatial_index = {}
         self._spatial_index_block_rows = block_rows
-        for pt in ParticleType.get_all():
+        for pt in particle_types or ParticleType.get_all():
             if pt in self._spatial_index:
                 continue
             if self._num_part_total[pt.value] == 0:
@@ -469,31 +487,54 @@ class SnapshotEAGLE(SnapshotBase):
             ranges_per_file.append(ranges)
         return ranges_per_file
 
-    def _build_region_masks(self) -> None:
-        box = float(self.box_size.value[0])
-        # preserve a user-chosen index granularity: the default would
-        # otherwise clobber and rebuild a custom-block_rows index
-        self.build_spatial_index(
-            getattr(self, "_spatial_index_block_rows", None)
-            or SPATIAL_INDEX_BLOCK_ROWS
-        )
-        for pt in ParticleType.get_all():
+    def _ensure_region_selection(self, pt: ParticleType) -> None:
+        """Build the spatial index, pruned row ranges, and exact membership
+        mask for ONE particle type on its first region-restricted access.
+
+        Lazy per type: a restriction itself costs nothing, and a gas-only
+        regional render never pays the whole-box coordinate scan for
+        DM/star/BH. Thread-safe under ``read_async`` — the RLock serializes
+        builds while allowing the build's own internal coordinate read to
+        re-enter ``_read_dataset``."""
+        if self._regions is None:
+            return
+        with self._region_lock:
+            if pt in self._region_masks:
+                return
             if self._num_part_total[pt.value] == 0:
-                self._region_masks[pt] = None
                 self._region_rows[pt] = None
-                continue
+                self._region_masks[pt] = None
+                return
+            box = float(self.box_size.value[0])
+            # preserve a user-chosen index granularity: the default would
+            # otherwise clobber and rebuild a custom-block_rows index
+            self.build_spatial_index(
+                getattr(self, "_spatial_index_block_rows", None)
+                or SPATIAL_INDEX_BLOCK_ROWS,
+                particle_types=(pt,),
+            )
             self._region_rows[pt] = self._selected_block_ranges(pt)
-            # read the selected rows' raw coordinates without the exact mask
-            saved = self._region_masks
-            self._region_masks = {}
-            raw = self._read_dataset(pt, "Coordinates", trailing=(3,))
-            self._region_masks = saved
-            pos = (
-                raw * (self.h**self._length_h_exp) * self._length_cgs / C.MEGAPARSEC_CGS
-            )
-            self._region_masks[pt] = _region_membership_mask(
-                pos, self._regions, box
-            )
+            # read the selected rows' raw coordinates with the mask marked
+            # built-but-absent, so the re-entrant read applies row pruning
+            # only (other threads are held at the lock until the real mask
+            # is in place)
+            self._region_masks[pt] = None
+            try:
+                raw = self._read_dataset(pt, "Coordinates", trailing=(3,))
+                pos = (
+                    raw * (self.h**self._length_h_exp)
+                    * self._length_cgs / C.MEGAPARSEC_CGS
+                )
+                self._region_masks[pt] = _region_membership_mask(
+                    pos, self._regions, box
+                )
+            except BaseException:
+                # a failed build must not leave the sentinel behind: it
+                # would read as "restriction built, no mask" and silently
+                # return unmasked data on the next access
+                self._region_masks.pop(pt, None)
+                self._region_rows.pop(pt, None)
+                raise
 
     # -- field getters ----------------------------------------------------------
     def _get_IDs(self, particle_type: ParticleType) -> np.ndarray:

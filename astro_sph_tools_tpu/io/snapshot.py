@@ -87,9 +87,24 @@ class SnapshotBase(ABC):
 
     def _update_number_of_particles(self) -> None:
         """Refresh particle counts (e.g. after a region restriction);
-        parity: `_SnapshotBase.py:110-117`."""
+        parity: `_SnapshotBase.py:110-117`.
+
+        Per-rank counts are refilled lazily on first access: under a
+        region restriction they can require reading coordinates to build
+        membership masks, and an eager refresh here would force that read
+        for every particle type up front (a gas-only regional render
+        would pay whole-box DM/star/BH scans it never uses)."""
         self._n_particles = dict(self._get_number_of_particles())
-        self._n_particles_this_rank = dict(self._get_number_of_particles_this_rank())
+        self._n_particles_this_rank = {}
+
+    def _get_number_of_particles_this_rank_single(
+        self, particle_type: ParticleType
+    ) -> int:
+        """Per-type hook behind the lazy per-rank count cache. Backends
+        whose per-rank count needs per-type work (e.g. EAGLE's spatial
+        index + membership mask) override this to compute only the
+        requested type; the default computes the full dict."""
+        return int(self._get_number_of_particles_this_rank()[particle_type])
 
     # -- metadata ---------------------------------------------------------------
     @property
@@ -169,7 +184,12 @@ class SnapshotBase(ABC):
         return self._n_particles[particle_type]
 
     def number_of_particles_this_rank(self, particle_type: ParticleType) -> int:
-        """Count held by this process (parity `_SnapshotBase.py:565-578`)."""
+        """Count held by this process (parity `_SnapshotBase.py:565-578`).
+        Computed lazily per type (see :meth:`_update_number_of_particles`)."""
+        if particle_type not in self._n_particles_this_rank:
+            self._n_particles_this_rank[particle_type] = (
+                self._get_number_of_particles_this_rank_single(particle_type)
+            )
         return self._n_particles_this_rank[particle_type]
 
     # -- field getters -----------------------------------------------------------

@@ -216,8 +216,19 @@ class SnapshotSWIFT(SnapshotBase):
                     offsets = np.asarray(c[f"OffsetsInFile/{name}"], np.int64)
                     if f"Files/{name}" in c:
                         files = np.asarray(c[f"Files/{name}"], np.int64)
-                    else:
+                    elif len(self._file_paths) == 1:
+                        # single-file snapshot: every cell trivially lives
+                        # in file 0
                         files = np.zeros(centres.shape[0], np.int64)
+                    else:
+                        # multi-file snapshot with no Files/<type> map:
+                        # cell->file attribution is unknown, and assuming
+                        # file 0 would make the row ranges for files 1..N-1
+                        # empty — in-region particles in those files would
+                        # be silently dropped. Skip Cells pruning for this
+                        # type; the exact membership mask over whole-file
+                        # reads still applies.
+                        continue
                     per_type[pt] = (counts, offsets, files)
             self._cells_cache = (centres, size, per_type)
         return self._cells_cache

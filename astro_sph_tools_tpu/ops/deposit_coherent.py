@@ -1255,9 +1255,21 @@ def deposit_2d_coherent_fused(
 
     Returns ``(maps, ok)`` where ``ok`` is an on-device bool: True iff
     every data-dependent count fit ``caps`` (and no oversize smoothing
-    lengths appeared), i.e. the map is exact. On ``ok == False`` re-render
-    through :func:`deposit_2d_coherent` (synced, always exact) and derive
-    fresh capacities via :func:`caps_from_layout`.
+    lengths appeared), i.e. the map is exact. **Callers MUST check
+    ``ok``** — an over-capacity render silently truncates deposits, so a
+    caller that ignores the flag gets a corrupt map with no other signal.
+    On ``ok == False`` re-render through :func:`deposit_2d_coherent`
+    (synced, always exact) and derive fresh capacities via
+    :func:`caps_from_layout`.
+
+    Streaming loops over macro-chunks: the default ``caps_from_layout``
+    headroom (+6 sigma) models Poisson chunk-to-chunk drift, but
+    macro-chunks of a spatially-ordered snapshot sample systematically
+    different regions — caps calibrated on chunk 0 alone can overflow far
+    more often than "never" on later chunks. Calibrate on a few
+    representative chunks and combine with :func:`caps_union`, and treat
+    the synced re-render fallback as the correctness backstop, not a
+    rare event.
 
     The per-render host cost is dispatch-only — counts never come back to
     the host — so a streaming loop over macro-chunks runs the layout AND

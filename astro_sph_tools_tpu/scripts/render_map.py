@@ -44,9 +44,13 @@ PARAMS = (
     Param(
         "region_pad", None,
         "Loading-region margin in cMpc around --region so kernels that "
-        "straddle the map edge still contribute (default: 5% of the "
-        "smaller region side). Reads prune to the padded region via the "
-        "backend's spatial index (EAGLE block bboxes / SWIFT Cells).",
+        "straddle the map edge still contribute. Default: starts at 5% of "
+        "the smaller region side, then grows automatically to the largest "
+        "loaded smoothing length (re-reading as needed) so no edge kernel "
+        "is dropped. An explicit value disables the auto-grow: pick it "
+        ">= the max smoothing length near the edge or accept missing "
+        "edge flux. Reads prune to the padded region via the backend's "
+        "spatial index (EAGLE block bboxes / SWIFT Cells).",
         float, default=None,
     ),
 )
@@ -101,7 +105,11 @@ def run(
 
     if region and len(region) != 4:
         raise SystemExit("error: --region needs x0,x1,y0,y1")
-    if region and hasattr(snap, "restrict_data_comoving_loading_region"):
+    restricted = region and hasattr(
+        snap, "restrict_data_comoving_loading_region"
+    )
+    pad = None
+    if restricted:
         # O(region) IO: restrict loading to the (padded) map region before
         # reading — the spatial index prunes to intersecting file chunks
         box_full = float(snap.box_size.value[0])
@@ -110,19 +118,38 @@ def run(
             if region_pad is not None
             else 0.05 * min(region[1] - region[0], region[3] - region[2])
         )
-        bounds = [[0.0, box_full] for _ in range(3)]
-        bounds[i] = [region[0] - pad, region[1] + pad]
-        bounds[j] = [region[2] - pad, region[3] + pad]
-        with timed_phase("restrict loading region"):
+
+        def _restrict(p):
+            bounds = [[0.0, box_full] for _ in range(3)]
+            bounds[i] = [region[0] - p, region[1] + p]
+            bounds[j] = [region[2] - p, region[3] + p]
             snap.restrict_data_comoving_loading_region(
                 bounds[0][0], bounds[0][1],
                 bounds[1][0], bounds[1][1],
                 bounds[2][0], bounds[2][1],
             )
 
+        with timed_phase("restrict loading region"):
+            _restrict(pad)
+
     with timed_phase("read snapshot fields"):
         pos = snap.get_positions(pt).to_value("Mpc")
         h = snap.get_smoothing_lengths(pt).to_value("Mpc")
+        if restricted and region_pad is None:
+            # data-driven pad: a default guessed before reading can be
+            # smaller than the largest kernel near the map edge, silently
+            # dropping its contribution. Grow the pad to the max loaded
+            # smoothing length and re-restrict until it covers every
+            # kernel that could straddle the edge (converges: h bounded).
+            for _ in range(3):
+                h_max = float(h.max()) if h.size else 0.0
+                if h_max <= pad:
+                    break
+                pad = 1.05 * h_max
+                with timed_phase("grow region pad for kernel support"):
+                    _restrict(pad)
+                pos = snap.get_positions(pt).to_value("Mpc")
+                h = snap.get_smoothing_lengths(pt).to_value("Mpc")
         mass = (
             snap.get_masses(pt).to_value("Msun")
             if pt != ParticleType.black_hole

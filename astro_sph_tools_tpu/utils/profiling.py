@@ -88,15 +88,25 @@ def count_compilations() -> Iterator[list]:
     import jax
 
     progs: list = []
+    seen: set = set()
 
     class _Handler(logging.Handler):
         def emit(self, record: logging.LogRecord) -> None:
+            # the same record propagates from jax._src.dispatch up to the
+            # "jax" root logger — dedupe so it counts once
+            if id(record) in seen:
+                return
+            seen.add(id(record))
             msg = record.getMessage()
             if "Finished XLA compilation" in msg:
                 progs.append(msg.split("\n", 1)[0][:200])
 
     handler = _Handler(level=logging.DEBUG)
-    loggers = [logging.getLogger("jax._src.dispatch")]
+    # attach to both the module logger JAX currently uses AND the "jax"
+    # root logger: a JAX version that moves the log to another private
+    # module still reaches "jax" via propagation instead of silently
+    # reporting zero compilations
+    loggers = [logging.getLogger("jax._src.dispatch"), logging.getLogger("jax")]
     prev = jax.config.jax_log_compiles
     jax.config.update("jax_log_compiles", True)
     levels = [lg.level for lg in loggers]

@@ -221,6 +221,29 @@ class TestRegionRestriction:
         assert snap.number_of_particles_this_rank(ParticleType.gas) == 500
         assert n_restricted < 500
 
+    def test_region_selection_is_lazy_per_type(self, tmp_path):
+        """ADVICE r4: a gas-only regional read must not stream the
+        coordinates of other particle types — the spatial index and
+        membership mask are built per type on first access."""
+        spec = SyntheticSnapshotSpec(n_gas=500, n_dm=400, n_star=32, n_bh=2, n_files=1)
+        path, truth = write_snapshot(str(tmp_path), spec)
+        snap = SnapshotEAGLE(path)
+        snap.restrict_data_comoving_loading_region(2.0, 5.0, 0.0, 10.0, 0.0, 10.0)
+        # the restriction itself builds nothing
+        assert snap._spatial_index == {}
+        assert snap._region_masks == {}
+        pos = snap.get_positions(ParticleType.gas).value
+        assert ParticleType.gas in snap._spatial_index
+        assert ParticleType.dark_matter not in snap._spatial_index
+        assert ParticleType.dark_matter not in snap._region_masks
+        p = truth.positions[ParticleType.gas]
+        assert len(pos) == ((p[:, 0] >= 2.0) & (p[:, 0] < 5.0)).sum()
+        # per-rank counts fill lazily and correctly too
+        pd = truth.positions[ParticleType.dark_matter]
+        n_dm = snap.number_of_particles_this_rank(ParticleType.dark_matter)
+        assert n_dm == ((pd[:, 0] >= 2.0) & (pd[:, 0] < 5.0)).sum()
+        assert ParticleType.dark_matter in snap._spatial_index
+
 
 class TestMultiProcessSplit:
     def test_file_split_partitions(self, tmp_path):

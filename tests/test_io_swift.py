@@ -237,3 +237,65 @@ class TestSWIFTRegionRestriction:
         pos = snap.get_positions(ParticleType.gas).to_value("Mpc")
         p = truth.positions[ParticleType.gas]
         assert len(pos) == ((p[:, 0] >= 2.0) & (p[:, 0] < 5.0)).sum()
+
+    def test_multifile_without_files_map_skips_cells_pruning(self, tmp_path):
+        """Regression (ADVICE r4, medium): a multi-file snapshot whose Cells
+        group lacks ``Files/<type>`` must NOT assume every cell lives in
+        file 0 — that empties the row ranges for files 1..N-1 and silently
+        drops their in-region particles. Pruning must be skipped (exact
+        membership mask over whole-file reads)."""
+        import h5py
+
+        from astro_sph_tools_tpu import constants as C
+
+        box = 10.0
+        rng = np.random.default_rng(7)
+        # file 0: gas at x in [0, 5); file 1: gas at x in [5, 10)
+        pos0 = rng.uniform([0, 0, 0], [5, box, box], (100, 3))
+        pos1 = rng.uniform([5, 0, 0], [box, box, box], (100, 3))
+        num_total = np.array([200, 0, 0, 0, 0, 0], np.int64)
+        for fi, pos in enumerate((pos0, pos1)):
+            path = tmp_path / f"swift_0000.{fi}.hdf5"
+            with h5py.File(path, "w") as f:
+                hdr = f.create_group("Header")
+                hdr.attrs["Redshift"] = np.array([0.0])
+                hdr.attrs["Scale-factor"] = np.array([1.0])
+                hdr.attrs["NumPart_Total"] = num_total
+                this = np.zeros(6, np.int64)
+                this[0] = len(pos)
+                hdr.attrs["NumPart_ThisFile"] = this
+                hdr.attrs["BoxSize"] = np.full(3, box)
+                cos = f.create_group("Cosmology")
+                cos.attrs["h"] = np.array([0.7])
+                cos.attrs["Omega_b"] = np.array([0.05])
+                g = f.create_group("PartType0")
+                ds = g.create_dataset("Coordinates", data=pos)
+                ds.attrs[
+                    "Conversion factor to CGS (not including cosmological "
+                    "corrections)"
+                ] = C.MEGAPARSEC_CGS
+                ds.attrs["a-scale exponent"] = np.array([1.0])
+                if fi == 0:
+                    # Cells metadata present but WITHOUT a Files group
+                    cells = f.create_group("Cells")
+                    meta = cells.create_group("Meta-data")
+                    meta.attrs["size"] = np.array([5.0, box, box])
+                    cells.create_dataset(
+                        "Centres", data=np.array([[2.5, 5, 5], [7.5, 5, 5]])
+                    )
+                    cells.create_group("Counts").create_dataset(
+                        "PartType0", data=np.array([100, 100], np.int64)
+                    )
+                    cells.create_group("OffsetsInFile").create_dataset(
+                        "PartType0", data=np.array([0, 100], np.int64)
+                    )
+        snap = SnapshotSWIFT(str(tmp_path / "swift_0000.0.hdf5"))
+        assert len(snap._file_paths) == 2
+        # region entirely inside file 1's x-range
+        snap.restrict_data_comoving_loading_region(6.0, 9.0, 0.0, box, 0.0, box)
+        got = snap.get_positions(ParticleType.gas).to_value("Mpc")
+        expected = pos1[(pos1[:, 0] >= 6.0) & (pos1[:, 0] < 9.0)]
+        assert len(got) == len(expected) > 0
+        np.testing.assert_allclose(
+            np.sort(got[:, 0]), np.sort(expected[:, 0]), rtol=1e-12
+        )
