@@ -53,7 +53,12 @@ class ScriptWrapper:
             names = [f"--{p.name.replace('_', '-')}"]
             if p.short_name:
                 names.append(f"-{p.short_name}")
-            kwargs: dict = {"help": p.description, "dest": p.name}
+            # argparse %-expands help text; literal '%' (e.g. "5% of the
+            # region side") must be escaped or --help raises TypeError
+            kwargs: dict = {
+                "help": p.description.replace("%", "%%"),
+                "dest": p.name,
+            }
             if p.is_flag:
                 kwargs["action"] = "store_true"
             else:
