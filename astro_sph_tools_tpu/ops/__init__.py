@@ -44,6 +44,8 @@ from .spectra import (
     absorption_spectra,
     absorption_spectra_binned,
     doppler_parameter_kms,
+    voigt_damping_kms,
+    voigt_hjerting,
 )
 from .spectra_pallas import absorption_spectra_pallas
 
@@ -68,6 +70,8 @@ __all__ = [
     "absorption_spectra",
     "absorption_spectra_binned",
     "absorption_spectra_pallas",
+    "voigt_damping_kms",
+    "voigt_hjerting",
     "column_integrate",
     "column_integrate_binned",
     "column_integrate_pallas",

@@ -36,7 +36,7 @@ from ..kernels.splines import (
     get_kernel,
     integrated_kernel_chebyshev,
 )
-from .spectra import doppler_parameter_kms
+from .spectra import _resolve_profile, doppler_parameter_kms, voigt_hjerting
 from .sightlines_pallas import (
     _C,
     _RAY_BATCH,
@@ -81,6 +81,8 @@ def _spectra_kernel(
     Ly: float,
     n_vel_images: int,
     wrap_velocity: bool,
+    profile: str = "gaussian",
+    voigt_k: float = 0.0,
 ):
     s = pl.program_id(0)
     w0 = sched_ref[s]
@@ -137,14 +139,18 @@ def _spectra_kernel(
             # (n_vel_images is sized from b_max at call time — for typical
             # Doppler widths it is 0 and phi is a single exp, not 7)
             dv = dv - jnp.round(dv * (1.0 / v_box)) * v_box
+        if profile == "voigt":
+            # Voigt damping wings (a = voigt_k / b per particle); same
+            # second-order Hjerting expansion as the XLA oracle engine
+            one = lambda z: voigt_hjerting(voigt_k * inv_b, z)
+        else:
+            one = lambda z: jnp.exp(-(z * z))
         if n_vel_images:
             phi = jnp.zeros((_C, n_bins), jnp.float32)
             for k in range(-n_vel_images, n_vel_images + 1):
-                z = (dv + k * v_box) * inv_b
-                phi = phi + jnp.exp(-(z * z))
+                phi = phi + one((dv + k * v_box) * inv_b)
         else:
-            z = dv * inv_b
-            phi = jnp.exp(-(z * z))
+            phi = one(dv * inv_b)
         phi = phi * ((1.0 / math.sqrt(math.pi)) * inv_b)
 
         # tau += w_col @ phi with hi/lo bf16 splits (exact bf16 products,
@@ -176,6 +182,8 @@ def _cached_spectra_engine(
     n_pop: int,
     nb: int,
     interpret: bool,
+    profile: str = "gaussian",
+    voigt_k: float = 0.0,
 ):
     """One jitted program: ray-block broadcast + fused pass + per-level
     unsort-and-sum back to caller ray order."""
@@ -211,6 +219,8 @@ def _cached_spectra_engine(
         Ly=Ly,
         n_vel_images=n_vel_images,
         wrap_velocity=wrap_velocity,
+        profile=profile,
+        voigt_k=voigt_k,
     )
     call = pl.pallas_call(
         kern,
@@ -250,10 +260,14 @@ def absorption_spectra_pallas(
     kernel: str = "cubic_spline",
     periodic: bool = True,
     interpret: Optional[bool] = None,
+    profile: str = "gaussian",
+    gamma: Optional[float] = None,
+    rest_wavelength_angstrom: float = 1215.67,
 ) -> tuple[Array, np.ndarray]:
     """Per-ray velocity-space spectra — :func:`ops.spectra.absorption_spectra`
-    semantics on the fused Pallas pass. Returns (spectra (R, n_bins),
-    velocity bin centres in km/s)."""
+    semantics on the fused Pallas pass (incl. ``profile="voigt"`` damping
+    wings). Returns (spectra (R, n_bins), velocity bin centres in km/s)."""
+    voigt_k = _resolve_profile(profile, gamma, rest_wavelength_angstrom)
     n_rays_in = np.asarray(ray_x).shape[0]
     if n_rays_in > _RAY_BATCH:
         # schedule unit indices ride 24 bits; huge ray sets batch cleanly
@@ -268,6 +282,8 @@ def absorption_spectra_pallas(
                 cosmology=cosmology, box_size=box_size,
                 atomic_weight=atomic_weight, n_bins=n_bins,
                 kernel=kernel, periodic=periodic, interpret=interpret,
+                profile=profile, gamma=gamma,
+                rest_wavelength_angstrom=rest_wavelength_angstrom,
             )
             taus.append(tau_i)
         return jnp.concatenate(taus, axis=0), vc
@@ -388,6 +404,7 @@ def absorption_spectra_pallas(
     tau = _cached_spectra_engine(
         n_pop * nb, n_steps, n_bucket // _C, n_bins, kernel, periodic,
         Lx, Ly, n_vel_images, wrap_velocity, n_rays, n_pop, nb, interpret,
+        profile, voigt_k,
     )(
         jnp.asarray(sched), jnp.asarray(unit_blk.astype(np.int32)),
         jnp.asarray(unit_lo.astype(np.int32)),
