@@ -123,7 +123,7 @@ def build_particles(n: int, box: float, shape, *, order: str, seed: int = 7):
 
 def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         prep=None, window: int = 0, caps_slack=None,
-        measure_phases: bool = True) -> dict:
+        measure_phases: bool = True, layout: str = "auto") -> dict:
     import jax
 
     jax.config.update(
@@ -199,6 +199,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
             "n_particles": n,
             "order": order,
             "engine": engine,
+        "layout": layout if engine != "coherent" else None,
             "prep": prep,
             "caps_slack": caps_slack,
             "wall_s": round(wall, 4),
@@ -230,7 +231,9 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
             return deposit_coherent(tp, precision="bf16x2")
     else:
         def build(*a):
-            return tile_particles(*a, need_perm=False, donate=True)
+            return tile_particles(
+                *a, need_perm=False, donate=True, layout=layout
+            )
 
         def render(tp):
             return deposit_tiled(tp, precision="bf16x2")
@@ -288,6 +291,7 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         "n_particles": n,
         "order": order,
         "engine": engine,
+        "layout": layout if engine != "coherent" else None,
         "prep": prep if engine == "coherent" else None,
         "window": window if engine == "coherent" else None,
         "wall_s": round(wall, 4),
@@ -317,13 +321,14 @@ def main() -> int:
     ap.add_argument("--prep", choices=("pallas", "xla"), default=None)
     ap.add_argument("--window", type=int, default=0)
     ap.add_argument("--caps-slack", type=float, default=None)
+    ap.add_argument("--layout", choices=("auto", "sort", "shear"), default="auto")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     orders = ("morton", "random") if args.order == "both" else (args.order,)
     results = [
         run(args.n, o, args.repeats, args.engine, args.prep, args.window,
-            args.caps_slack)
+            args.caps_slack, layout=args.layout)
         for o in orders
     ]
     payload = results[0] if len(results) == 1 else {**results[0], "random_order": results[1]}
