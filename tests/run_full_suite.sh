@@ -33,6 +33,9 @@ for f in $slow_files; do
     python -m pytest "$f" -q --slow -p no:cacheprovider "$@" || rc=1
 done
 
+echo "=== multi-process lane (2x jax.distributed CPU processes) ==="
+bash tests/multiprocess/run_multiprocess.sh 2 || rc=1
+
 if [ "$rc" -eq 0 ]; then
     echo "FULL SUITE: all lanes green"
 else
