@@ -5,6 +5,7 @@ from .coherent import (
     deposit_2d_coherent_sharded_fused,
     pad_particles_mesh,
 )
+from .rebalance import rebalance_evenly
 from .reorder import distributed_reorder
 from .sharded_io import (
     load_particle_fields_sharded,
@@ -28,6 +29,7 @@ __all__ = [
     "column_integrate_sharded",
     "deposit_2d_sharded",
     "deposit_3d_sharded",
+    "rebalance_evenly",
     "distributed_reorder",
     "load_particle_fields_sharded",
     "open_process_local_snapshot",
