@@ -359,6 +359,15 @@ class SnapshotSWIFT(SnapshotBase):
     # (KNN_CROSSOVER.json: parity at 3e5, 3.3x at 1e6, 8.9x at 3e6)
     DM_HSML_DEVICE_THRESHOLD: int = 300_000
 
+    def _dm_hsml_pick_engine(self, n: int) -> str:
+        """Engine for an n-particle DM k-NN pass: the measured
+        KNN_CROSSOVER.json decision (host KDTree below ~3e5, device grid
+        above), unless ``dm_hsml_engine`` forces one."""
+        engine = self.dm_hsml_engine
+        if engine == "auto":
+            return "grid" if n >= self.DM_HSML_DEVICE_THRESHOLD else "kdtree"
+        return engine
+
     def _dm_smoothing_lengths(self, use_proper_units: bool) -> UnitArray:
         """k-NN derived DM smoothing lengths (`_SnapshotSWIFT.py:58-85`,
         with the chunk-slice bug fixed). At scale (>= ~3e5 particles) the
@@ -368,9 +377,7 @@ class SnapshotSWIFT(SnapshotBase):
             pos = self.get_positions(ParticleType.dark_matter).to_value("Mpc")
             box = float(self.box_size.value[0])
             n = pos.shape[0]
-            engine = self.dm_hsml_engine
-            if engine == "auto":
-                engine = "grid" if n >= self.DM_HSML_DEVICE_THRESHOLD else "kdtree"
+            engine = self._dm_hsml_pick_engine(n)
             if engine == "grid":
                 from ..ops.neighbors import knn_distances_grid
 

@@ -1001,16 +1001,22 @@ def tile_particles(
         if use_shear:
             from .layout_shear import shear_tile_sort
 
-            key, u_loc, v_loc = _cached_assign(
+            level_n_tiles = tuple(
+                (g.n_tiles if g is not None else 0) for g in geoms
+            )
+            compact_bases = tuple(
+                int(b) for b in np.concatenate([[0], np.cumsum(level_n_tiles)])
+            )
+            assign = _cached_assign(
                 spec.shape, extent, spec.periodic_wrap, bounds,
                 *geom_tuples, kspec.support_factor,
-            )(x, y, h)
+                compact_bases=compact_bases,
+            )
             sorted_key, su, sv, sh, s_values, perm, counts = shear_tile_sort(
-                key, u_loc, v_loc, h, values,
+                None, None, None, h, values,
+                raw_xy=(x, y), assign=assign,
                 level_stride=_LEVEL_STRIDE,
-                level_n_tiles=tuple(
-                    (g.n_tiles if g is not None else 0) for g in geoms
-                ),
+                level_n_tiles=level_n_tiles,
                 n_fields=n_fields, need_perm=need_perm, n_valid=n_valid,
                 interpret=jax.default_backend() != "tpu",
             )
@@ -1112,9 +1118,14 @@ def _tile_sort_tail(key, u_loc, v_loc, h, values, n_levels, n_fields,
 @lru_cache(maxsize=256)
 def _cached_assign(
     shape, extent, periodic, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t,
-    m_t, support_factor,
+    m_t, support_factor, compact_bases=None,
 ):
-    """Composite-key assignment only (the shear layout groups separately)."""
+    """Key assignment only (the shear layout groups separately).
+
+    ``compact_bases`` (per-level key starts) makes the key compact
+    (``bases[level] + tile``) instead of strided; the returned callable is
+    cached so it is a stable static argument for the shear stage-A jit
+    (which traces through it to fuse assignment with the sorts)."""
 
     def run(x, y, h):
         ny, nx = shape
@@ -1130,9 +1141,13 @@ def _cached_assign(
         level, tile, u_loc, v_loc = _multi_level_assign(
             u, v, s_pix, bounds, n_tiles_x_t, ty_t, tx_t, n_tiles_y_t, m_t, jnp
         )
-        return level * _LEVEL_STRIDE + tile, u_loc, v_loc
+        if compact_bases is not None:
+            key = jnp.asarray(compact_bases, jnp.int32)[level] + tile
+        else:
+            key = level * _LEVEL_STRIDE + tile
+        return key, u_loc, v_loc
 
-    return jax.jit(run)
+    return run
 
 
 @lru_cache(maxsize=256)

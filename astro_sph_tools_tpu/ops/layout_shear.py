@@ -107,16 +107,23 @@ def _band_histogram(key2: Array, n_keys: int) -> Array:
     return acc.reshape(B, KH * KL)[:, :n_keys]
 
 
-@partial(jax.jit, static_argnames=("n_keys", "n_ops"), donate_argnums=(0,))
-def _shear_stage_a(ops, *, n_keys: int, n_ops: int):
-    """Sorts + transpose + run geometry + gang packing (one program).
+def _shear_stage_a_impl(ops, *, n_keys: int, assign=None):
+    """Assignment + sorts + transpose + run geometry + gang packing.
 
-    ``ops``: list of (N,) arrays, ops[0] the int32 compact key; the rest
-    payload channels (f32, or i32 ``perm`` which rides bit-cast). Returns
-    (gangs, run arrays..., scalars) — see the unpacked names at the call
-    site. The key does NOT ride into the gangs: the tile channel is
-    rebuilt from the run structure in stage B, freeing a payload slot.
+    ``ops``: list of (N,) arrays. With ``assign=None``, ops[0] is already
+    the int32 compact key and the rest are payload channels (f32, or i32
+    ``perm`` riding bit-cast). With a static ``assign`` callable, ops are
+    raw ``(x, y, h, *fields, [perm])`` and the key + tile-local coords are
+    computed in-program — fusing the assignment lets XLA alias the donated
+    raw inputs straight into the sort buffers (the separate-assign form
+    kept x/y alive across the sorts and OOMed at 2^27 on 16 GB). The key
+    does NOT ride into the gangs: the tile channel is rebuilt from the run
+    structure in stage B, freeing a payload slot.
     """
+    if assign is not None:
+        x, y, h = ops[0], ops[1], ops[2]
+        key, u_loc, v_loc = assign(x, y, h)
+        ops = [key, u_loc, v_loc, h, *ops[3:]]
     N = ops[0].shape[0]
     R0 = N // _C0  # pass-1 rows; also pass-2 band length
     B = _C0  # pass-2 band count
@@ -150,16 +157,18 @@ def _shear_stage_a(ops, *, n_keys: int, n_ops: int):
     per_key_gangs = jnp.diff(jnp.concatenate([jnp.zeros(1, ngang.dtype),
                                               cum_ngang[B - 1 :: B]]))
 
-    # pack payload channels (key excluded) into gangs (G, 8, 128)
+    # pack payload channels (key excluded) into gangs (G, 8, 128); the
+    # trailing _WG zero gangs absorb sub-run source-window overruns
     pay = [
         (jax.lax.bitcast_convert_type(b, jnp.float32)
          if b.dtype != jnp.float32 else b)
         for b in bands[1:]
     ]
     pay += [jnp.zeros((B, R0), jnp.float32)] * (8 - len(pay))
-    flat = jnp.stack([p.reshape(-1) for p in pay], axis=0)  # (8, N)
-    gangs = flat.reshape(8, N // _GANG, _GANG).transpose(1, 0, 2)
-    gangs = jnp.pad(gangs, ((0, _WG), (0, 0), (0, 0)))  # src overrun slack
+    gangs = jnp.pad(
+        jnp.stack([p.reshape(N // _GANG, _GANG) for p in pay], axis=1),
+        ((0, _WG), (0, 0), (0, 0)),
+    )
 
     return (
         gangs, src_gang.astype(jnp.int32), head.astype(jnp.int32),
@@ -167,6 +176,18 @@ def _shear_stage_a(ops, *, n_keys: int, n_ops: int):
         cnt, cum_nsub.astype(jnp.int32), per_key_gangs.astype(jnp.int32),
         n_gang_total.astype(jnp.int32), n_sub_total.astype(jnp.int32),
     )
+
+
+# donation invalidates the caller's input buffers — production builds
+# (regenerating or streaming callers) opt in; tests and layout-reusing
+# callers keep their arrays
+_shear_stage_a = jax.jit(
+    _shear_stage_a_impl, static_argnames=("n_keys", "assign")
+)
+_shear_stage_a_donated = jax.jit(
+    _shear_stage_a_impl, static_argnames=("n_keys", "assign"),
+    donate_argnums=(0,),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -361,12 +382,18 @@ def shear_tile_sort(
     key_strided, u_loc, v_loc, h, values, *,
     level_stride: int, level_n_tiles: tuple, n_fields: int,
     need_perm: bool, n_valid: int, interpret: bool = False,
+    raw_xy=None, assign=None, donate: bool = False,
 ):
     """Drop-in replacement for ``deposit_pallas._tile_sort_tail``.
 
     Parameters mirror the sort path: ``key_strided`` is the composite
     ``level * level_stride + tile`` key; ``level_n_tiles`` the per-level
     tile counts (0 for disabled levels), oversize implicit at the end.
+    Alternatively pass ``raw_xy=(x, y)`` with a static ``assign`` callable
+    producing the COMPACT key + tile-local coords in-program (and
+    ``key_strided``/``u_loc``/``v_loc`` as None): the assignment then
+    fuses into stage A and the raw inputs are donated — the memory-lean
+    form for production-scale builds.
 
     Returns ``(s_tile, su, sv, sh, s_values, perm, counts)`` where counts
     (n_levels + 1,) INCLUDE the gang pad slots interleaved into each
@@ -380,26 +407,33 @@ def shear_tile_sort(
     bases = np.concatenate([[0], np.cumsum(level_n_tiles)]).astype(np.int64)
     n_keys = int(bases[-1]) + 1  # + oversize
     level_key_bases = tuple(int(b) for b in bases) + (n_keys,)
-    # strided -> compact key
-    level = key_strided // level_stride
-    compact = (
-        jnp.asarray(bases, jnp.int32)[level] + key_strided
-        - level * level_stride
-    )
 
-    ops = [compact, u_loc, v_loc, h]
+    if assign is not None:
+        x, y = raw_xy
+        ops = [x, y, h]
+        n_payload = 3 + n_fields + int(need_perm)
+    else:
+        # strided -> compact key
+        level = key_strided // level_stride
+        compact = (
+            jnp.asarray(bases, jnp.int32)[level] + key_strided
+            - level * level_stride
+        )
+        ops = [compact, u_loc, v_loc, h]
+        n_payload = len(ops) - 1 + n_fields + int(need_perm)
     ops += [values[f] for f in range(n_fields)]
     if need_perm:
-        ops.append(jnp.arange(compact.shape[0], dtype=jnp.int32))
-    if len(ops) - 1 > 8:
+        ops.append(jnp.arange(h.shape[0], dtype=jnp.int32))
+    if n_payload > 8:
         raise ValueError(
             "shear layout carries at most 8 payload channels "
-            f"(got {len(ops) - 1}); use the lax.sort layout"
+            f"(got {n_payload}); use the lax.sort layout"
         )
 
+    stage_a = _shear_stage_a_donated if donate else _shear_stage_a
     (gangs, src_gang, head, ngang, cum_ngang, cnt, cum_nsub,
-     per_key_gangs, n_gang_total, n_sub_total) = _shear_stage_a(
-        ops, n_keys=n_keys, n_ops=len(ops)
+     per_key_gangs, n_gang_total, n_sub_total) = stage_a(
+        ops, n_keys=n_keys, assign=assign
     )
 
     # host sync (piggybacks the caller's counts sync): static buckets

@@ -199,3 +199,23 @@ class TestGridKnn:
         snap_gr.dm_hsml_engine = "grid"
         h_gr = snap_gr.get_smoothing_lengths(ParticleType.dark_matter).value
         np.testing.assert_allclose(h_gr, h_kd, rtol=2e-4, atol=1e-6)
+
+
+def test_dm_hsml_auto_dispatch_pins_measured_crossover(tmp_path):
+    """VERDICT r4 item 7: the auto engine choice encodes the MEASURED
+    KNN_CROSSOVER.json crossover — host KDTree at 3e4 DM particles (grid
+    was 3.5x slower there), device grid at 1e6 (3.3x faster)."""
+    from astro_sph_tools_tpu.io.swift import SnapshotSWIFT
+    from astro_sph_tools_tpu.io.synthetic import (
+        SyntheticSnapshotSpec,
+        write_swift_snapshot,
+    )
+
+    spec = SyntheticSnapshotSpec(n_gas=64, n_dm=64, n_star=8, n_bh=2)
+    path, _ = write_swift_snapshot(str(tmp_path), spec)
+    snap = SnapshotSWIFT(path)
+    assert snap._dm_hsml_pick_engine(30_000) == "kdtree"
+    assert snap._dm_hsml_pick_engine(1_000_000) == "grid"
+    assert snap._dm_hsml_pick_engine(snap.DM_HSML_DEVICE_THRESHOLD) == "grid"
+    snap.dm_hsml_engine = "kdtree"
+    assert snap._dm_hsml_pick_engine(1_000_000) == "kdtree"
