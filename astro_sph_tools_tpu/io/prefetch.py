@@ -181,6 +181,7 @@ def stream_macro_chunks(
     *,
     prefetch_depth: int = 1,
     to_device=None,
+    n_readers: int = 1,
 ) -> Iterator:
     """Macro-chunk pipeline: read + unit-convert + **host->device transfer**
     of chunk k+1 overlap the device compute of chunk k.
@@ -195,6 +196,15 @@ def stream_macro_chunks(
 
     The streaming analogue of SURVEY.md §2.8's "thread-level IO overlap"
     row, replacing per-benchmark ad-hoc reader pools.
+
+    ``n_readers > 1`` fans the read+pack stage over a thread pool — on
+    multi-core hosts the per-chunk h5py reads and the C/numpy pack passes
+    (which release the GIL) run concurrently; chunks are still DELIVERED
+    in order, and the single producer thread serialises the H2D puts (two
+    concurrent device transfers would just contend for the one link).
+    This is the rank-parallel-read analogue of the reference's
+    ``pyread_eagle.split_selection`` MPI striping
+    (`_SnapshotEAGLE.py:119-130`) at thread granularity.
     """
     import jax
 
@@ -218,12 +228,37 @@ def stream_macro_chunks(
 
     def producer():
         try:
-            for ci in range(n_chunks):
-                if abandoned.is_set():
-                    return
-                dev = to_device(read_chunk(ci))
-                if not _put(dev):
-                    return
+            if n_readers > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=n_readers, thread_name_prefix="ast-reader"
+                ) as pool:
+                    # keep at most n_readers + prefetch_depth chunks in
+                    # flight; deliver strictly in order
+                    pending = {}
+                    next_submit = 0
+                    for ci in range(n_chunks):
+                        while (
+                            next_submit < n_chunks
+                            and len(pending) < n_readers + prefetch_depth
+                        ):
+                            pending[next_submit] = pool.submit(
+                                read_chunk, next_submit
+                            )
+                            next_submit += 1
+                        if abandoned.is_set():
+                            return
+                        host = pending.pop(ci).result()
+                        if not _put(to_device(host)):
+                            return
+            else:
+                for ci in range(n_chunks):
+                    if abandoned.is_set():
+                        return
+                    dev = to_device(read_chunk(ci))
+                    if not _put(dev):
+                        return
             _put(_SENTINEL)
         except Exception as err:  # propagate to consumer
             _put(err)

@@ -12,8 +12,19 @@ for i in $(seq 1 200); do
   say "probe $i wedged"; sleep 280
 done
 [ "$OK" = 1 ] || { say "tunnel never recovered"; exit 1; }
-say "=== shear layout, random order 2^27 (memory-lean stage A) ==="
+
+say "=== 1/3 shear layout, random order 2^27 (memory-lean stage A) ==="
 timeout 5400 python benchmarks/northstar_proxy.py --order random --engine sorted \
   --layout shear --out NORTHSTAR_SHEAR.json >> "$LOG" 2>&1 \
   && say "shear done" || say "shear FAILED"
+
+say "=== 2/3 e2e packdelta wire 2^27 ==="
+timeout 5400 python benchmarks/e2e_1e8.py 27 8 packdelta 1 > /tmp/e2e_packdelta.log 2>&1 \
+  && say "e2e packdelta done" || say "e2e packdelta FAILED"
+tail -1 /tmp/e2e_packdelta.log >> "$LOG"
+
+say "=== 3/3 e2e packraw baseline 2^27 (same tunnel state) ==="
+timeout 5400 python benchmarks/e2e_1e8.py 27 8 packraw 1 > /tmp/e2e_packraw.log 2>&1 \
+  && say "e2e packraw done" || say "e2e packraw FAILED"
+tail -1 /tmp/e2e_packraw.log >> "$LOG"
 say "queue complete"

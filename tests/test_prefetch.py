@@ -139,3 +139,39 @@ class TestAbandonedStream:
         for t in leaked:
             t.join(timeout=5.0)
         assert not any(t.is_alive() for t in leaked)
+
+
+class TestReaderPool:
+    def test_pool_delivers_in_order(self):
+        """n_readers > 1 fans reads over a thread pool but delivery stays
+        strictly ordered (VERDICT r4 item 2 host fan-out)."""
+        import time
+
+        from astro_sph_tools_tpu.io.prefetch import stream_macro_chunks
+
+        def read_chunk(ci):
+            time.sleep(0.01 * ((ci * 7) % 3))  # jittered completion order
+            return {"ci": np.asarray([ci])}
+
+        got = [
+            int(item["ci"][0])
+            for item in stream_macro_chunks(
+                read_chunk, 12, prefetch_depth=2, to_device=lambda h: h,
+                n_readers=4,
+            )
+        ]
+        assert got == list(range(12))
+
+    def test_pool_propagates_errors(self):
+        from astro_sph_tools_tpu.io.prefetch import stream_macro_chunks
+
+        def read_chunk(ci):
+            if ci == 3:
+                raise RuntimeError("boom")
+            return {"ci": np.asarray([ci])}
+
+        stream = stream_macro_chunks(
+            read_chunk, 6, to_device=lambda h: h, n_readers=3
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            list(stream)
