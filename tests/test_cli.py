@@ -229,6 +229,7 @@ class TestRenderMapRestrictedIO:
         assert b[j] == [3 - 0.5, 7 + 0.5]
         assert b[1] == [0.0, 10.0]
 
+    @pytest.mark.slow
     def test_region_render_prunes_reads_and_matches_full(self, tmp_path, monkeypatch):
         """A restricted render must read fewer file rows than a full-pad
         render while producing the same map, given a pad covering every

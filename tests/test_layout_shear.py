@@ -126,6 +126,7 @@ def test_single_key_degenerate(rng):
 
 
 class TestShearEndToEnd:
+    @pytest.mark.slow
     def test_render_matches_sort_layout_and_oracle(self, rng):
         """Full pipeline: device-path tile_particles(layout='shear') renders
         the same map as the lax.sort layout and the dense oracle — incl.

@@ -28,7 +28,10 @@ def mesh():
 
 
 class TestSharded2D:
-    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    @pytest.mark.parametrize(
+        "engine",
+        [pytest.param("pallas", marks=pytest.mark.slow), "xla"],
+    )
     def test_matches_oracle(self, mesh, rng, engine):
         n = 5000
         box = 10.0
@@ -47,7 +50,10 @@ class TestSharded2D:
         expected = project_oracle(x, y, h, m, spec.shape, spec.extent)
         assert rel_err(np.asarray(img), expected) < 1e-5
 
-    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    @pytest.mark.parametrize(
+        "engine",
+        [pytest.param("pallas", marks=pytest.mark.slow), "xla"],
+    )
     def test_jit_and_multifield(self, mesh, rng, engine):
         n = 2048
         box = 10.0
@@ -76,6 +82,7 @@ class TestSharded2D:
         exp0 = project_oracle(x, y, h, m, spec.shape, spec.extent)
         assert rel_err(np.asarray(img[..., 0]), exp0) < 1e-5
 
+    @pytest.mark.slow
     def test_pallas_periodic_sharded(self, mesh, rng):
         n = 3000
         box = 8.0
@@ -96,7 +103,10 @@ class TestSharded2D:
 
 
 class TestSharded3D:
-    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    @pytest.mark.parametrize(
+        "engine",
+        [pytest.param("pallas", marks=pytest.mark.slow), "xla"],
+    )
     def test_matches_single_device(self, mesh, rng, engine):
         n = 3000
         box = 8.0
@@ -115,7 +125,10 @@ class TestSharded3D:
         assert grid.shape == spec.shape
         assert rel_err(np.asarray(grid), expected) < 1e-5
 
-    @pytest.mark.parametrize("engine", ["pallas", "xla"])
+    @pytest.mark.parametrize(
+        "engine",
+        [pytest.param("pallas", marks=pytest.mark.slow), "xla"],
+    )
     def test_periodic_slabs(self, mesh, rng, engine):
         n = 1500
         box = 8.0

@@ -33,7 +33,10 @@ def _reference_oracle(pos, h, q, nx, ny, axis, x_min, x_max, y_min, y_max):
     return ref
 
 
-@pytest.mark.parametrize("axis", [CoordinateAxes.Z, CoordinateAxes.X])
+@pytest.mark.parametrize(
+    "axis",
+    [pytest.param(CoordinateAxes.Z, marks=pytest.mark.slow), CoordinateAxes.X],
+)
 def test_create_image_matches_reference_semantics(axis):
     rng = np.random.default_rng(3)
     n = 2000

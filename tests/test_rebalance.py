@@ -73,6 +73,7 @@ class TestRebalanceEvenly:
             tail = h_out[i * shard_len + int(new_counts[i]) : (i + 1) * shard_len]
             assert (tail == 1.0).all()
 
+    @pytest.mark.slow
     def test_render_identical_after_rebalance(self, rng):
         """The sharded render gives the same map before and after — and the
         imbalanced case leaves most shards idle while one does everything."""

@@ -135,6 +135,7 @@ class TestRenderHaloMaps:
         assert inner > outer  # centrally concentrated
 
 
+@pytest.mark.slow
 def test_engine_coherent_matches_pallas(snap):
     snapshot, truth, spec = snap
     a = render_map_stack(

@@ -296,6 +296,7 @@ class TestVoigtProfile:
         assert np.allclose(ratio, ratio.mean(), rtol=1e-3)
         assert w0 > tau_v[wing].max()  # the core still dominates
 
+    @pytest.mark.slow
     def test_binned_voigt_matches_dense(self, rng):
         from astro_sph_tools_tpu.ops.spectra import absorption_spectra_binned
 
