@@ -246,14 +246,18 @@ class SnapshotEAGLE(SnapshotBase):
         ranges = self._region_rows.get(particle_type)
         parts = []
         group_seen = False
+        n_groups = n_found = 0
         for fidx, path in enumerate(self._my_files):
             if ranges is not None and not ranges[fidx]:
                 continue  # no selected rows: do not even open the file
             with h5py.File(path, "r") as f:
                 key = f"{particle_type.common_hdf5_name}/{field}"
+                if particle_type.common_hdf5_name in f:
+                    n_groups += 1
                 if key not in f:
                     group_seen |= particle_type.common_hdf5_name in f
                     continue
+                n_found += 1
                 ds = f[key]
                 if ranges is None:
                     parts.append(np.asarray(ds))
@@ -278,6 +282,15 @@ class SnapshotEAGLE(SnapshotBase):
                     "snapshot's files."
                 )
             return np.empty((0, *trailing), dtype=dtype)
+        if n_found < n_groups:
+            # present in SOME files only: concatenating would silently
+            # misalign this field against every other (schema-fuzz
+            # finding, round 5)
+            raise SnapshotFormatError(
+                f'Dataset "{field}" is present in only {n_found} of '
+                f"{n_groups} {particle_type.common_hdf5_name} file groups "
+                "of this snapshot."
+            )
         data = np.concatenate(parts, axis=0)
         mask = self._region_masks.get(particle_type)
         if mask is not None:

@@ -157,12 +157,16 @@ class SnapshotSWIFT(SnapshotBase):
         a_exp = 0.0
         cgs = 1.0
         attrs_seen = False
+        n_groups = n_found = 0
         for fidx, path in enumerate(self._my_files):
             if ranges is not None and not ranges[fidx]:
                 continue  # no selected rows: do not even open the file
             with h5py.File(path, "r") as f:
                 key = f"{particle_type.common_hdf5_name}/{field}"
+                if particle_type.common_hdf5_name in f:
+                    n_groups += 1
                 if key in f:
+                    n_found += 1
                     ds = f[key]
                     if ranges is None:
                         parts.append(np.asarray(ds))
@@ -184,6 +188,15 @@ class SnapshotSWIFT(SnapshotBase):
                             np.atleast_1d(ds.attrs.get("a-scale exponent", 0.0))[0]
                         )
                         break
+        if 0 < n_found < n_groups:
+            # present in SOME files only: concatenating would silently
+            # misalign this field against every other (schema-fuzz
+            # finding, round 5)
+            raise SnapshotFormatError(
+                f'Dataset "{field}" is present in only {n_found} of '
+                f"{n_groups} {particle_type.common_hdf5_name} file groups "
+                "of this snapshot."
+            )
         if not parts:
             return np.empty((0, *trailing)), a_exp, cgs
         data = np.concatenate(parts, axis=0)

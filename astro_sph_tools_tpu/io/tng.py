@@ -191,14 +191,33 @@ class SnapshotTNG(SnapshotBase):
         self._update_number_of_particles()
 
     # -- raw reads -----------------------------------------------------------------
-    def _read_dataset(self, particle_type: ParticleType, field: str, dtype=np.float64, trailing=()):
+    def _read_dataset(self, particle_type: ParticleType, field: str, dtype=np.float64, trailing=(), required: bool = False):
         parts = []
+        n_groups = n_found = 0
         for path, lo, hi, _ in self._file_row_overlaps(particle_type):
             with h5py.File(path, "r") as f:
                 key = f"{particle_type.common_hdf5_name}/{field}"
+                if particle_type.common_hdf5_name in f:
+                    n_groups += 1
                 if key in f:
+                    n_found += 1
                     parts.append(f[key][lo:hi])
+        if 0 < n_found < n_groups:
+            # a dataset present in SOME files only would silently
+            # concatenate short and misalign against every other field
+            # (schema-fuzz finding, round 5)
+            raise SnapshotFormatError(
+                f'Dataset "{field}" is present in only {n_found} of '
+                f"{n_groups} {particle_type.common_hdf5_name} file groups "
+                "of this snapshot."
+            )
         if not parts:
+            if required and n_groups:
+                raise SnapshotFormatError(
+                    f'Dataset "{field}" is missing from the '
+                    f"{particle_type.common_hdf5_name} groups of this "
+                    "snapshot's files."
+                )
             return np.empty((0, *trailing), dtype=dtype)
         return np.concatenate(parts, axis=0)
 
@@ -246,7 +265,10 @@ class SnapshotTNG(SnapshotBase):
         )
 
     def _get_metallicities(self, particle_type, solar_units, solar_metallicity) -> UnitArray:
-        z = unit_array(self._read_dataset(particle_type, "GFM_Metallicity"), "")
+        z = unit_array(
+            self._read_dataset(particle_type, "GFM_Metallicity", required=True),
+            "",
+        )
         if not solar_units:
             return z
         return z / (solar_metallicity if solar_metallicity is not None else TNG_SOLAR_METALLICITY)
@@ -289,6 +311,10 @@ class SnapshotTNG(SnapshotBase):
             particle_type, "GFM_Metals", trailing=(len(TNG_ELEMENT_ORDER),)
         )
         x_h = metals[:, 0] if metals.size else np.full_like(u, C.PRIMORDIAL_HYDROGEN_ABUNDANCE)
+        if not x_e.size:
+            # ElectronAbundance absent (trimmed mini-snapshots): neutral
+            # gas assumption x_e = 0 rather than a broadcast crash
+            x_e = np.zeros_like(u)
         mu = 4.0 * C.PROTON_MASS_CGS / (1.0 + 3.0 * x_h + 4.0 * x_h * x_e)
         temperature = (GAMMA - 1.0) * u * mu / C.BOLTZMANN_CONSTANT_CGS
         return unit_array(temperature, "K")
