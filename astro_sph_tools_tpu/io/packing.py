@@ -265,6 +265,11 @@ def morton_delta_encode(x_q: np.ndarray, y_q: np.ndarray):
     ``exc_idx.size / n > ~0.1``).
     """
     n = int(x_q.shape[0])
+    from .. import native as _native
+
+    enc = _native.morton_delta_encode_u16(x_q, y_q, _DELTA_CHUNK)
+    if enc is not None:
+        return enc  # single C pass; bit-identical to the NumPy path below
     m = _interleave16(x_q, y_q)
     n_seg = -(-n // _DELTA_CHUNK)
     pad = n_seg * _DELTA_CHUNK - n

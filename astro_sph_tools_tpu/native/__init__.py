@@ -31,6 +31,10 @@ _F64 = ctypes.c_double
 _PD = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _PF = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _PI = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_PI16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+_PI64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_PU16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+_PU32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 
 
 def _build() -> Optional[str]:
@@ -82,6 +86,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.scale_cast_f64.restype = None
         lib.scale_cast_f32.argtypes = [_PF, _I64, _F64, _PF]
         lib.scale_cast_f32.restype = None
+        lib.morton_delta_encode_u16.argtypes = [
+            _PU16, _PU16, _I64, _I64, _PI16, _PU32, _PI64, _PU32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.morton_delta_encode_u16.restype = None
         _LIB = lib
     except OSError:
         _LIB = None
@@ -145,3 +154,26 @@ def scale_cast(src: np.ndarray, scale: float) -> Optional[np.ndarray]:
     else:
         return None
     return out
+
+
+def morton_delta_encode_u16(x_q: np.ndarray, y_q: np.ndarray, seg: int):
+    """One-pass Morton-delta encode (io/packing.py semantics), or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x_q = np.ascontiguousarray(x_q, np.uint16)
+    y_q = np.ascontiguousarray(y_q, np.uint16)
+    n = x_q.shape[0]
+    n_seg = -(-n // seg)
+    deltas = np.empty(n_seg * seg, np.int16)
+    bases = np.empty(n_seg, np.uint32)
+    exc_idx = np.empty(n_seg * seg, np.int64)
+    exc_corr = np.empty(n_seg * seg, np.uint32)
+    ne = ctypes.c_int64(0)
+    lib.morton_delta_encode_u16(
+        x_q, y_q, n, seg, deltas, bases, exc_idx, exc_corr,
+        ctypes.byref(ne),
+    )
+    k = int(ne.value)
+    return deltas, bases, exc_idx[:k].copy(), exc_corr[:k].copy(), n

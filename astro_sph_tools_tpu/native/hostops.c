@@ -118,3 +118,66 @@ void scale_cast_f64(const double *src, int64_t n, double scale, float *out) {
 void scale_cast_f32(const float *src, int64_t n, double scale, float *out) {
     for (int64_t i = 0; i < n; i++) out[i] = (float)((double)src[i] * scale);
 }
+
+/* Morton-delta position encoding (io/packing.py), one streaming pass.
+ *
+ * Interleaves (x_q, y_q) into u32 Morton codes and emits per-4096-record
+ * segments: int16 first differences (delta[0] of each segment = 0, the
+ * u32 base carries the absolute code) plus a sparse exception list for
+ * jumps outside int16. Exception entries store the CORRECTION the
+ * decoder's segmented running sum must add from that record onward (see
+ * morton_delta_encode's NumPy formulation — bit-identical outputs).
+ */
+static inline uint32_t spread16(uint32_t v) {
+    v = (v | (v << 8)) & 0x00FF00FFu;
+    v = (v | (v << 4)) & 0x0F0F0F0Fu;
+    v = (v | (v << 2)) & 0x33333333u;
+    v = (v | (v << 1)) & 0x55555555u;
+    return v;
+}
+
+void morton_delta_encode_u16(
+    const uint16_t *xq, const uint16_t *yq, int64_t n, int64_t seg,
+    int16_t *deltas, uint32_t *bases, int64_t *exc_idx, uint32_t *exc_corr,
+    int64_t *n_exc_out)
+{
+    int64_t n_seg = (n + seg - 1) / seg;
+    int64_t ne = 0;
+    uint32_t m_prev = 0, m0 = 0;
+    uint32_t cum_corr = 0;
+    uint32_t m_last = 0; /* edge-padding: repeat the final record's code */
+    for (int64_t s = 0; s < n_seg; s++) {
+        int64_t i0 = s * seg;
+        cum_corr = 0;
+        for (int64_t j = 0; j < seg; j++) {
+            int64_t i = i0 + j;
+            uint32_t m;
+            if (i < n) {
+                m = spread16(xq[i]) | (spread16(yq[i]) << 1);
+                m_last = m;
+            } else {
+                m = m_last; /* np.pad(..., mode="edge") parity */
+            }
+            if (j == 0) {
+                bases[s] = m;
+                deltas[i0] = 0;
+                m0 = m;
+            } else {
+                int64_t d = (int64_t)m - (int64_t)m_prev;
+                if (d >= -32768 && d <= 32767) {
+                    deltas[i0 + j] = (int16_t)d;
+                    m0 += (uint32_t)(int32_t)d;
+                } else {
+                    deltas[i0 + j] = 0;
+                    uint32_t corr = m - (m0 + cum_corr);
+                    exc_idx[ne] = i0 + j;
+                    exc_corr[ne] = corr;
+                    ne++;
+                    cum_corr += corr;
+                }
+            }
+            m_prev = m;
+        }
+    }
+    *n_exc_out = ne;
+}
