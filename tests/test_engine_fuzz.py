@@ -97,6 +97,21 @@ def test_engines_agree_on_random_configs(seed):
     imgs["sorted"] = np.asarray(
         deposit_2d_auto(x, y, h, vals, spec, precision="f32")
     )
+    # shear grouping layout feeding the same tiled deposit (round 5) —
+    # carries at most 4 fields + perm through its 8 gang channels
+    if vals.shape[0] <= 4:
+        import jax.numpy as jnp
+
+        from astro_sph_tools_tpu.ops.deposit_pallas import (
+            deposit_tiled,
+            tile_particles,
+        )
+
+        tp = tile_particles(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(h),
+            jnp.asarray(vals), spec, layout="shear",
+        )
+        imgs["shear"] = np.asarray(deposit_tiled(tp, precision="f32"))
     for prep in ("pallas", "xla"):
         lay = tile_particles_coherent(x, y, h, vals, spec, prep=prep)
         imgs[f"coherent-{prep}"] = np.asarray(
