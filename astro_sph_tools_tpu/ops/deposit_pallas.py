@@ -641,6 +641,20 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _level_bucket(c: int) -> int:
+    """Static capacity for a level segment of ``c`` slots.
+
+    Chunk-aligned size classes: pow2 rounding wastes up to 2x — at 2^27
+    with the shear layout's pad slots pushing counts just past a power of
+    two, the doubled bucket alone OOMed a 16 GB chip. 3-bit size classes
+    bound the waste at 12.5 %; above 8 chunks they are automatically
+    multiples of ``_CHUNK`` (the deposit requires bucket % 2048 == 0),
+    below that pow2 keeps the alignment at negligible cost."""
+    if c <= 8 * _CHUNK:
+        return max(_CHUNK, _next_pow2(c))
+    return _next_size_class(c)
+
+
 def _next_size_class(n: int, bits: int = 3) -> int:
     """Smallest ``m * 2^e >= n`` with ``m`` carrying ``bits`` significant
     bits after the leading one (m in [2^bits, 2^(bits+1))).
@@ -1033,7 +1047,7 @@ def tile_particles(
     for li, g in enumerate(geoms):
         c = int(counts_host[li])
         if g is not None and c > 0:
-            level_meta.append((g, lo, max(_CHUNK, _next_pow2(c)), c))
+            level_meta.append((g, lo, _level_bucket(c), c))
         lo += c
 
     return TiledParticles(

@@ -449,14 +449,14 @@ def shear_tile_sort(
     for li in range(n_levels):
         lvl_gangs[li] = per_key_g[int(bases[li]) : int(bases[li + 1])].sum()
     lvl_gangs[n_levels] = per_key_g[int(bases[-1])]
+    from .deposit_pallas import _level_bucket
+
     lvl_lo = np.concatenate([[0], np.cumsum(lvl_gangs)[:-1]]) * _GANG
     need_slots = n_gang_h * _GANG
     for li in range(n_levels + 1):
         c = int(lvl_gangs[li]) * _GANG
         if c:
-            need_slots = max(
-                need_slots, int(lvl_lo[li]) + max(_C0, _next_pow2(c))
-            )
+            need_slots = max(need_slots, int(lvl_lo[li]) + _level_bucket(c))
     g_alloc = -(-need_slots // _GANG) + _WG + 1  # + DMA dump slab
 
     s_tile, su, sv, sh, s_values, perm = _shear_stage_b(
