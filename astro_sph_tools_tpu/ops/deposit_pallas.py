@@ -912,7 +912,7 @@ def tile_particles(
       (:mod:`.layout_shear`) — same contract, ~2x faster at 1e8 scale for
       shuffled input; level segments carry interleaved zero-value pad
       slots (counts include them; the deposit renders them for free).
-    - ``"auto"``: shear for large device-side builds (>= 2^24 particles,
+    - ``"auto"``: shear for large device-side builds (>= 2^26 particles,
       <= 4 fields), sort otherwise (small builds and the host-f64 path).
     """
     kspec = get_kernel(kernel)
@@ -1007,9 +1007,12 @@ def tile_particles(
         y = jnp.asarray(y, jnp.float32)
         h = jnp.asarray(h, jnp.float32)
         x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
+        # shear's fixed costs (run schedule, append, cleanup) do not
+        # amortise below ~2^26: measured 0.93 s vs the sort path's ~0.14 s
+        # at 2^24 (e2e chunk scale), winning only at 1e8-class builds
         use_shear = layout == "shear" or (
             layout == "auto"
-            and int(h.shape[0]) >= (1 << 24)
+            and int(h.shape[0]) >= (1 << 26)
             and 3 + n_fields + int(need_perm) <= 8
         )
         if use_shear:

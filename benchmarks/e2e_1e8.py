@@ -71,6 +71,16 @@ def write_big_snapshot(directory: str, n_gas: int, n_files: int, seed: int = 11)
         pos[n - nb :] = np.mod(
             blob_centres[which] + rng.normal(0, BOX_MPC * 0.02, (nb, 3)), BOX_MPC
         ).astype(np.float32)
+        # real EAGLE/SWIFT snapshots store particles in space-filling-curve
+        # order (Peano-Hilbert domain cells); writing the fixture unsorted
+        # mismodels both the coherent engine's premise and the
+        # Morton-delta wire. Sort each file's particles along a 2D Morton
+        # key at the wire's 65536-cell resolution.
+        from astro_sph_tools_tpu.io.packing import _interleave16
+
+        q = np.clip(pos[:, :2] / BOX_MPC * 65536, 0, 65535).astype(np.uint16)
+        order = np.argsort(_interleave16(q[:, 0], q[:, 1]), kind="stable")
+        pos = pos[order]
         # log-normal smoothing lengths spanning the footprint levels
         hs = np.exp(rng.normal(np.log(0.9 * px), 0.55, n)).astype(np.float32)
         hs = np.clip(hs, 0.25 * px, 24.0 * px)
@@ -166,7 +176,7 @@ def main() -> None:
     n_readers = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     pack_mode = wire != "f32"
     n_gas = 1 << log2_n
-    cache = os.path.join("/tmp", f"ast_e2e_big_{log2_n}")
+    cache = os.path.join("/tmp", f"ast_e2e_big_{log2_n}_v2")  # v2: PH-ordered
     os.makedirs(cache, exist_ok=True)
     t0 = time.perf_counter()
     first = write_big_snapshot(cache, n_gas, n_files=2 * n_chunks)

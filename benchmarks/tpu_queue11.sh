@@ -17,6 +17,11 @@ for i in $(seq 1 100); do
 done
 [ "$OK" = 1 ] || { say "tunnel never recovered"; exit 1; }
 
+say "=== northstar shear retry (size-class buckets) ==="
+timeout 5400 python benchmarks/northstar_proxy.py --order random --engine sorted \
+  --layout shear --out NORTHSTAR_SHEAR.json >> "$LOG" 2>&1 \
+  && say "shear done" || say "shear FAILED"
+
 say "=== ion e2e 2^24 ==="
 timeout 4200 python benchmarks/ion_e2e.py --n $((1<<24)) >> "$LOG" 2>&1 \
   && say "ion 2^24 done" || say "ion FAILED"
