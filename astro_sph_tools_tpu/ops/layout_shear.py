@@ -248,23 +248,18 @@ def _cached_append(sub_cap: int, g_src: int, g_alloc: int):
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "sub_cap", "g_alloc", "n_keys", "n_fields", "need_perm", "n_valid",
-        "level_key_bases", "interpret",
-    ),
+    static_argnames=("sub_cap", "g_alloc", "interpret"),
     donate_argnums=(0,),
 )
-def _shear_stage_b(
-    gangs, src_gang, head, ngang, cum_ngang, cnt, cum_nsub,
-    *, sub_cap: int, g_alloc: int, n_keys: int, n_fields: int,
-    need_perm: bool, n_valid: int, level_key_bases: tuple,
-    interpret: bool,
+def _shear_append(
+    gangs, src_gang, ngang, cum_ngang, cum_nsub,
+    *, sub_cap: int, g_alloc: int, interpret: bool,
 ):
-    """Schedule + append + metadata cleanup; returns the final SoA layout.
-
-    ``g_alloc`` includes the N/2-slack gangs required by the level
-    dynamic-slice contract; ``level_key_bases`` are the compact-key
-    starts of each level segment (last entry = n_keys)."""
+    """Sub-run schedule + the chained-DMA append. A separate program from
+    the cleanup so the 4.3 GB gang source is dead (donated) before the
+    cleanup's output channels allocate — as one program, the concurrent
+    liveness of gangs + dest + outputs ran a 16 GB chip out of HBM at
+    2^27."""
     NRUNS = ngang.shape[0]
     g_src = gangs.shape[0]
 
@@ -274,7 +269,7 @@ def _shear_stage_b(
     live_sub = run < NRUNS
     run_c = jnp.minimum(run, NRUNS - 1)
     within = j - jnp.where(run_c > 0, cum_nsub[run_c - 1], 0)
-    dest_gang_start = (cum_ngang - ngang)
+    dest_gang_start = cum_ngang - ngang
     src_j = src_gang[run_c] + within * _WG
     dst_j = dest_gang_start[run_c] + within * _WG
     # dead slots: copy gang 0 onto the dump slab past all data
@@ -286,18 +281,33 @@ def _shear_stage_b(
     sched = jnp.stack([src_j, dst_j], axis=1).reshape(sub_cap // _RPB, _RPB, 2)
 
     if interpret:
-        dest = pl.pallas_call(
+        return pl.pallas_call(
             _append_kernel,
             grid_spec=_interp_grid(sub_cap, g_alloc),
             out_shape=jax.ShapeDtypeStruct((g_alloc, 8, _GANG), jnp.float32),
             interpret=True,
         )(sched, gangs)
-    else:
-        dest = _cached_append(sub_cap, g_src, g_alloc)(sched, gangs)
+    return _cached_append(sub_cap, g_src, g_alloc)(sched, gangs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_fields", "need_perm", "n_valid", "level_key_bases",
+    ),
+    donate_argnums=(0,),
+)
+def _shear_cleanup(
+    dest, head, ngang, cum_ngang, cnt,
+    *, n_fields: int, need_perm: bool, n_valid: int, level_key_bases: tuple,
+):
+    """Metadata expansion + stray/pad zeroing + channel extraction."""
+    NRUNS = ngang.shape[0]
+    g_alloc = dest.shape[0]
 
     # ---- per-gang run metadata by cumsum-scatter (no per-gang search) ----
     n_gang_total = cum_ngang[-1]
-    gs = dest_gang_start
+    gs = cum_ngang - ngang
     live_run = cnt > 0
     dump = g_alloc  # scatter dump index (dropped)
     garr = jnp.arange(g_alloc, dtype=jnp.int32)
@@ -459,11 +469,14 @@ def shear_tile_sort(
             need_slots = max(need_slots, int(lvl_lo[li]) + _level_bucket(c))
     g_alloc = -(-need_slots // _GANG) + _WG + 1  # + DMA dump slab
 
-    s_tile, su, sv, sh, s_values, perm = _shear_stage_b(
-        gangs, src_gang, head, ngang, cum_ngang, cnt, cum_nsub,
-        sub_cap=sub_cap, g_alloc=g_alloc, n_keys=n_keys,
+    dest = _shear_append(
+        gangs, src_gang, ngang, cum_ngang, cum_nsub,
+        sub_cap=sub_cap, g_alloc=g_alloc, interpret=interpret,
+    )
+    s_tile, su, sv, sh, s_values, perm = _shear_cleanup(
+        dest, head, ngang, cum_ngang, cnt,
         n_fields=n_fields, need_perm=need_perm, n_valid=n_valid,
-        level_key_bases=level_key_bases, interpret=interpret,
+        level_key_bases=level_key_bases,
     )
 
     # per-level slot counts (pads included)
