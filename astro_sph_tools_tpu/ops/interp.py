@@ -21,11 +21,59 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _onehot_weights(ax: Array, p: Array, dtype):
+    """Gather-free 1-D interpolation stencil for a SMALL axis.
+
+    Returns ``(A, in_bounds)`` with ``A`` (N, len(ax)) carrying ``1 - w``
+    at the bracketing lower node and ``w`` at the upper one. Everything is
+    compares + tiny matmuls: TPU's general gather runs at ~60M elem/s,
+    which made the 8-corner gather formulation 84 % of the ion-weighted
+    render wall (ION_E2E r5); this form keeps the whole lookup on the
+    MXU/VPU."""
+    n = ax.shape[0]
+    # searchsorted over a small axis as a sum of compares (no gather)
+    ge = (p[:, None] >= ax[None, :]).astype(jnp.int32)  # (N, n)
+    i = jnp.clip(ge.sum(axis=1) - 1, 0, n - 2)
+    k = jnp.arange(n, dtype=jnp.int32)
+    e0 = (k[None, :] == i[:, None]).astype(dtype)
+    e1 = (k[None, :] == (i + 1)[:, None]).astype(dtype)
+    hi = jax.lax.Precision.HIGHEST
+    x0 = jnp.einsum("nk,k->n", e0, ax.astype(dtype), precision=hi)
+    x1 = jnp.einsum("nk,k->n", e1, ax.astype(dtype), precision=hi)
+    w = (p.astype(dtype) - x0) / (x1 - x0)
+    A = e0 * (1.0 - w)[:, None] + e1 * w[:, None]
+    in_bounds = (p >= ax[0]) & (p <= ax[-1])
+    return A, in_bounds
+
+
+def _interpolate_2d_mxu(axes, table, points, fill_value, chunk=1 << 16):
+    """Bilinear 2-D table lookup as two one-hot matmuls per chunk."""
+    ax0 = jnp.asarray(axes[0])
+    ax1 = jnp.asarray(axes[1])
+    table = jnp.asarray(table)
+    dtype = table.dtype
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    hi = jax.lax.Precision.HIGHEST
+
+    def one(chunk_pts):
+        A, ok0 = _onehot_weights(ax0, chunk_pts[:, 0], dtype)
+        B, ok1 = _onehot_weights(ax1, chunk_pts[:, 1], dtype)
+        M = jnp.einsum("ni,ij->nj", A, table, precision=hi)
+        val = jnp.einsum("nj,nj->n", M, B, precision=hi)
+        return jnp.where(ok0 & ok1, val, fill_value)
+
+    out = jax.lax.map(one, pts.reshape(-1, chunk, 2))
+    return out.reshape(-1)[:n]
+
+
 def regular_grid_interpolate(
     axes: Sequence[Array],
     table: Array,
     points: Array,
     fill_value: float = -jnp.inf,
+    method: str = "auto",
 ) -> Array:
     """Multilinear interpolation of ``table`` at ``points``.
 
@@ -35,10 +83,29 @@ def regular_grid_interpolate(
     table : D-dimensional value grid.
     points : (N, D) query coordinates.
     fill_value : value returned for points outside the grid hull.
+    method : "auto" uses the gather-free one-hot MXU formulation for 2-D
+        tables up to 512 nodes per axis (TPU general gather is ~60M
+        elem/s; the matmul form is ~100x faster at production particle
+        counts); "gather" forces the corner-gather formulation (the host
+        / small-N oracle), "mxu" forces the matmul form.
 
     Returns (N,) interpolated values.
     """
     ndim = table.ndim
+    points = jnp.asarray(points)
+    if (
+        method == "mxu"
+        or (
+            method == "auto"
+            and ndim == 2
+            and max(table.shape) <= 512
+            and points.ndim == 2
+            and points.shape[0] >= 4096
+        )
+    ):
+        if ndim != 2:
+            raise ValueError("method='mxu' supports 2-D tables only")
+        return _interpolate_2d_mxu(axes, table, points, fill_value)
     if len(axes) != ndim:
         raise ValueError(f"{len(axes)} axes for a {ndim}-D table")
     points = jnp.asarray(points)

@@ -97,24 +97,19 @@ def main() -> int:
     log_t = jax.random.normal(kt, (n,)) * 0.6 + 4.8  # log10 K
     jax.block_until_ready((x, y, h, mass, log_nh, log_t))
 
-    axes = tuple(jnp.asarray(p, jnp.float32) for p in table._positions)
-    grid = jnp.asarray(table.ionisation_fraction_table, jnp.float32)
-    ridx = table._redshift_index
+    # constant snapshot z: collapse the redshift plane once, then the
+    # per-particle lookup is the gather-free 2-D MXU path (the 8-corner
+    # gather formulation was 84 % of the wall at 2^24 — ION_E2E history)
+    axes2, grid2 = table.table_at_redshift(redshift)
+    axes2 = tuple(a.astype(jnp.float32) for a in axes2)
+    grid2 = grid2.astype(jnp.float32)
 
     @jax.jit
     def ion_payload(log_nh, log_t, mass, temp_lin):
         """Device payload stage: table interp fused with the weighting."""
-        pts = [None, None, None]
-        gas = [log_nh, log_t]
-        gi = 0
-        for d in range(3):
-            if d == ridx:
-                pts[d] = jnp.full_like(log_nh, redshift)
-            else:
-                pts[d] = gas[gi]
-                gi += 1
         logf = regular_grid_interpolate(
-            axes, grid, jnp.stack(pts, axis=1), fill_value=-jnp.inf
+            axes2, grid2, jnp.stack([log_nh, log_t], axis=1),
+            fill_value=-jnp.inf,
         )
         frac = jnp.exp2(logf * jnp.float32(np.log2(10.0)))
         ion_mass = mass * frac
