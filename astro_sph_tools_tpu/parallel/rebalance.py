@@ -20,7 +20,7 @@ over ICI.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional, Sequence
 
 import jax
