@@ -174,6 +174,12 @@ def main() -> None:
     if wire not in ("f32", "pack", "packraw", "packdelta"):
         raise SystemExit(f"unknown wire format {wire!r}")
     n_readers = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    # render engine: "sorted" (any order) or "coherent" (exploits the
+    # snapshot's space-filling-curve storage order — the production
+    # choice for real EAGLE/SWIFT/TNG files and the v2 fixture)
+    engine = sys.argv[5] if len(sys.argv) > 5 else "sorted"
+    if engine not in ("sorted", "coherent"):
+        raise SystemExit(f"unknown engine {engine!r}")
     pack_mode = wire != "f32"
     n_gas = 1 << log2_n
     cache = os.path.join("/tmp", f"ast_e2e_big_{log2_n}_v2")  # v2: PH-ordered
@@ -302,16 +308,31 @@ def main() -> None:
             jax.block_until_ready((x_d, y_d, hs_d, values))
             wait_s += time.perf_counter() - t0
 
-            t0 = time.perf_counter()
-            tp = tile_particles(x_d, y_d, hs_d, values, spec, need_perm=False)
-            jax.block_until_ready(tp.sorted_u)
-            tile_s += time.perf_counter() - t0
+            if engine == "coherent":
+                from astro_sph_tools_tpu.ops.deposit_coherent import (
+                    deposit_2d_coherent,
+                )
 
-            t0 = time.perf_counter()
-            maps = deposit_tiled(tp, precision="bf16x2")
-            total = maps if total is None else total + maps
-            jax.block_until_ready(total)
-            deposit_s += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                maps = deposit_2d_coherent(
+                    x_d, y_d, hs_d, values, spec, precision="bf16x2"
+                )
+                total = maps if total is None else total + maps
+                jax.block_until_ready(total)
+                deposit_s += time.perf_counter() - t0
+            else:
+                t0 = time.perf_counter()
+                tp = tile_particles(
+                    x_d, y_d, hs_d, values, spec, need_perm=False
+                )
+                jax.block_until_ready(tp.sorted_u)
+                tile_s += time.perf_counter() - t0
+
+                t0 = time.perf_counter()
+                maps = deposit_tiled(tp, precision="bf16x2")
+                total = maps if total is None else total + maps
+                jax.block_until_ready(total)
+                deposit_s += time.perf_counter() - t0
             print(
                 f"  chunk {ci + 1}/{n_chunks}: wait {wait_s:.2f}s tile {tile_s:.2f}s "
                 f"deposit {deposit_s:.2f}s (cumulative)",
@@ -341,6 +362,7 @@ def main() -> None:
                 "cold_start_s": round(cold_wall, 2),
                 "wire_format": wire,
                 "n_readers": n_readers,
+                "engine": engine,
                 "bytes_per_particle": round(bytes_per_particle[0], 2),
                 "phases_s": {
                     "io": round(io_s, 2),

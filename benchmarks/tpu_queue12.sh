@@ -5,9 +5,7 @@ set -u
 cd /root/repo
 LOG=/tmp/tpu_queue12.log
 say() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
-Q11=$(cat /tmp/q11.pid 2>/dev/null || echo 0)
-while [ "$Q11" != 0 ] && kill -0 "$Q11" 2>/dev/null; do sleep 60; done
-say "queue11 finished; probing tunnel"
+say "probing tunnel"
 OK=0
 for i in $(seq 1 100); do
   if timeout 90 python -c "import jax, jax.numpy as jnp; print(float(jnp.arange(4).sum()))" >/dev/null 2>&1; then
@@ -34,4 +32,15 @@ say "=== e2e v2 packdelta readers=2 ==="
 timeout 5400 python benchmarks/e2e_1e8.py 27 8 packdelta 2 > /tmp/e2e_v2_packdelta_r2.log 2>&1 \
   && say done || say FAILED
 tail -1 /tmp/e2e_v2_packdelta_r2.log >> "$LOG"
+
+say "=== e2e v2 packdelta + coherent engine ==="
+timeout 5400 python benchmarks/e2e_1e8.py 27 8 packdelta 1 coherent > /tmp/e2e_v2_coh.log 2>&1 \
+  && say done || say FAILED
+tail -1 /tmp/e2e_v2_coh.log >> "$LOG"
+
+say "=== ion e2e re-measure (MXU interp) 2^26 ==="
+timeout 4200 python benchmarks/ion_e2e.py --n $((1<<26)) --out ION_E2E_64M.json >> "$LOG" 2>&1 \
+  && say done || say FAILED
+timeout 4200 python benchmarks/ion_e2e.py --n $((1<<24)) >> "$LOG" 2>&1 \
+  && say done || say FAILED
 say "queue12 complete"
