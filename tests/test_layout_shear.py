@@ -164,3 +164,22 @@ class TestShearEndToEnd:
         )[0]
         exp2 = project_oracle(x, y, h, m2, spec.shape, spec.extent)
         assert np.abs(c - exp2).max() / exp2.max() < 1e-5
+
+
+def test_shear_donated_build(rng):
+    """The donated stage-A variant (production/bench path) builds and
+    renders; on CPU donation is a no-op but the code path must trace."""
+    from astro_sph_tools_tpu.ops.deposit import MapSpec
+    from astro_sph_tools_tpu.ops.deposit_pallas import tile_particles
+
+    box = 10.0
+    spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
+    n = 2048
+    x = jnp.asarray(rng.uniform(0, box, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, box, n), jnp.float32)
+    h = jnp.asarray(rng.uniform(0.1, 0.4, n), jnp.float32)
+    m = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    tp = tile_particles(x, y, h, m, spec, layout="shear", donate=True,
+                        need_perm=False)
+    assert tp.perm is None
+    assert int(np.asarray(tp.sorted_values).sum() > 0)
