@@ -283,6 +283,93 @@ def main() -> None:
     )
     print(cases[-1], flush=True)
 
+    # shear grouping layout vs the lax.sort layout, COMPILED on SHUFFLED
+    # input (the round-5 random-order path: Pallas chained-DMA appends +
+    # stray/pad cleanup must not perturb the deposit)
+    from astro_sph_tools_tpu.ops.deposit_pallas import (
+        deposit_tiled,
+        tile_particles,
+    )
+
+    sh = np.random.default_rng(29).permutation(n_c)
+    xs_, ys_, hs_, ms_ = xc[sh], yc[sh], hc[sh], mc[sh]
+    tp_shear = tile_particles(
+        jnp.asarray(xs_), jnp.asarray(ys_), jnp.asarray(hs_),
+        jnp.asarray(ms_), spec_p, layout="shear", need_perm=False,
+    )
+    img_shear = np.asarray(deposit_tiled(tp_shear, precision="bf16x2"))[0]
+    tp_sort = tile_particles(
+        jnp.asarray(xs_), jnp.asarray(ys_), jnp.asarray(hs_),
+        jnp.asarray(ms_), spec_p, layout="sort", need_perm=False,
+    )
+    img_sorted2 = np.asarray(deposit_tiled(tp_sort, precision="bf16x2"))[0]
+    cases.append(
+        {
+            "case": "shear grouping layout vs lax.sort layout (compiled, "
+            "shuffled input)",
+            "precision": "bf16x2",
+            "n_particles": n_c,
+            "max_rel_err": float(
+                np.abs(img_shear - img_sorted2).max() / np.abs(img_sorted2).max()
+            ),
+        }
+    )
+    print(cases[-1], flush=True)
+
+    # Voigt spectra through the Pallas engine vs the dense oracle engine
+    # (compiled-mode coverage of the damping-wing path)
+    exp_v, _ = absorption_spectra(
+        pos_s, h_s, val_s, vel_s, T_s, rxs, rys, box_size=box, n_bins=256,
+        profile="voigt", gamma=6.265e8,
+    )
+    got_v, _ = absorption_spectra_pallas(
+        pos_s, h_s, val_s, vel_s, T_s, rxs, rys, box_size=box, n_bins=256,
+        profile="voigt", gamma=6.265e8,
+    )
+    exp_v, got_v = np.asarray(exp_v), np.asarray(got_v)
+    cases.append(
+        {
+            "case": "pallas Voigt absorption spectra vs dense engine",
+            "precision": "bf16x2 matmul",
+            "n_particles": n_s,
+            "max_rel_err": float(
+                np.abs(got_v - exp_v).max() / np.abs(exp_v).max()
+            ),
+        }
+    )
+    print(cases[-1], flush=True)
+
+    # gather-free MXU table interpolation vs the gather formulation
+    # (compiled: the ion-physics payload path)
+    from astro_sph_tools_tpu.ops.interp import regular_grid_interpolate
+
+    rngi = np.random.default_rng(31)
+    ax0 = np.linspace(-8.0, 0.0, 41)
+    ax1 = np.linspace(2.0, 8.0, 81)
+    tbl = rngi.normal(0, 1, (41, 81)).astype(np.float32)
+    ptsq = np.column_stack(
+        [rngi.uniform(-8, 0, 1 << 20), rngi.uniform(2, 8, 1 << 20)]
+    ).astype(np.float32)
+    gv = np.asarray(regular_grid_interpolate(
+        (jnp.asarray(ax0), jnp.asarray(ax1)), jnp.asarray(tbl),
+        jnp.asarray(ptsq), method="gather",
+    ))
+    mv = np.asarray(regular_grid_interpolate(
+        (jnp.asarray(ax0), jnp.asarray(ax1)), jnp.asarray(tbl),
+        jnp.asarray(ptsq), method="mxu",
+    ))
+    scale_i = np.abs(gv).max()
+    cases.append(
+        {
+            "case": "MXU one-hot table interp vs gather formulation "
+            "(compiled)",
+            "precision": "f32 HIGHEST einsum",
+            "n_particles": 1 << 20,
+            "max_rel_err": float(np.abs(mv - gv).max() / scale_i),
+        }
+    )
+    print(cases[-1], flush=True)
+
     result = {
         "backend": backend,
         "oracle": "tests/oracles.py project_oracle_fast (f64 scatter, validated "
