@@ -440,11 +440,20 @@ def shear_tile_sort(
             f"(got {n_payload}); use the lax.sort layout"
         )
 
+    import os as _os
+    import time as _time
+
+    profile = bool(_os.environ.get("ASTSPH_SHEAR_PROFILE"))
+    t0 = _time.perf_counter() if profile else 0.0
+
     stage_a = _shear_stage_a_donated if donate else _shear_stage_a
     (gangs, src_gang, head, ngang, cum_ngang, cnt, cum_nsub,
      per_key_gangs, n_gang_total, n_sub_total) = stage_a(
         ops, n_keys=n_keys, assign=assign
     )
+    if profile:
+        jax.block_until_ready(gangs)
+        t_a = _time.perf_counter()
 
     # host sync (piggybacks the caller's counts sync): static buckets
     per_key_g, n_gang_h, n_sub_h = jax.device_get(
@@ -469,15 +478,32 @@ def shear_tile_sort(
             need_slots = max(need_slots, int(lvl_lo[li]) + _level_bucket(c))
     g_alloc = -(-need_slots // _GANG) + _WG + 1  # + DMA dump slab
 
+    if profile:
+        t_sync = _time.perf_counter()
     dest = _shear_append(
         gangs, src_gang, ngang, cum_ngang, cum_nsub,
         sub_cap=sub_cap, g_alloc=g_alloc, interpret=interpret,
     )
+    if profile:
+        jax.block_until_ready(dest)
+        t_app = _time.perf_counter()
     s_tile, su, sv, sh, s_values, perm = _shear_cleanup(
         dest, head, ngang, cum_ngang, cnt,
         n_fields=n_fields, need_perm=need_perm, n_valid=n_valid,
         level_key_bases=level_key_bases,
     )
+    if profile:
+        jax.block_until_ready(su)
+        import json as _json
+
+        print("SHEAR_PROFILE " + _json.dumps({
+            "stage_a_s": round(t_a - t0, 4),
+            "host_sync_s": round(t_sync - t_a, 4),
+            "append_s": round(t_app - t_sync, 4),
+            "cleanup_s": round(_time.perf_counter() - t_app, 4),
+            "n_gang": int(n_gang_h), "n_sub": int(n_sub_h),
+            "sub_cap": sub_cap, "g_alloc": g_alloc,
+        }), flush=True)
 
     # per-level slot counts (pads included)
     counts = jnp.asarray(lvl_gangs * _GANG, jnp.int32)

@@ -16,7 +16,7 @@ done
 [ "$OK" = 1 ] || { say "tunnel never recovered"; exit 1; }
 
 say "=== northstar shear attempt 3 (split stage B) ==="
-timeout 5400 python benchmarks/northstar_proxy.py --order random --engine sorted \
+ASTSPH_SHEAR_PROFILE=1 timeout 5400 python benchmarks/northstar_proxy.py --order random --engine sorted \
   --layout shear --out NORTHSTAR_SHEAR.json >> "$LOG" 2>&1 \
   && say "shear done" || say "shear FAILED"
 
