@@ -95,12 +95,36 @@ def main() -> int:
     )
     assert addressable == pos.shape[0] // args.num_processes
 
-    # 3. sharded render: per-device partial maps + psum
+    # 3. even shard rebalance across PROCESSES (the all_to_all rides the
+    # gloo cross-process collective — single-process virtual-device tests
+    # cannot reach this path)
+    from astro_sph_tools_tpu.parallel import rebalance_evenly
+
+    from jax.experimental import multihost_utils
+
+    all_counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray(n_local))
+    ).reshape(-1)
+    shard_len = pos.shape[0] // n_dev
+    dev_per_proc = args.devices_per_process
+    dev_counts = np.concatenate([
+        np.clip(c - np.arange(dev_per_proc) * shard_len, 0, shard_len)
+        for c in all_counts
+    ])
+    (bx, by, bh, bm), new_counts = rebalance_evenly(
+        [pos[:, 0], pos[:, 1], fields["smoothing_lengths"],
+         fields["masses"]],
+        dev_counts, mesh, pad_values=(0.0, 0.0, 1.0, 0.0),
+    )
+    assert int(new_counts.sum()) == n_total
+    assert int(new_counts.max() - new_counts.min()) <= 1
+
+    # 4. sharded render from the REBALANCED arrays: per-device partial
+    # maps + psum
     box = float(snap.box_size.value[0])
     spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box))
     img = deposit_2d_sharded(
-        pos[:, 0], pos[:, 1], fields["smoothing_lengths"],
-        fields["masses"], spec, mesh, precision="f32", K=64,
+        bx, by, bh, bm, spec, mesh, precision="f32", K=64,
     )
     img_local = np.asarray(img)  # fully replicated after psum
 
