@@ -64,6 +64,11 @@ def rebalance_evenly(
     new_counts = np.full(n_dev, total // n_dev, np.int64)
     new_counts[: total % n_dev] += 1
     shard_len = arrays[0].shape[0] // n_dev
+    if any(a.shape[0] != arrays[0].shape[0] for a in arrays):
+        raise ValueError(
+            "all arrays must share the sharded leading dimension; got "
+            f"{[a.shape[0] for a in arrays]}"
+        )
     if new_counts.max() > shard_len:
         raise ValueError(
             f"even share {int(new_counts.max())} exceeds the shard capacity "
