@@ -35,6 +35,22 @@ PARAMS = (
     Param("spectra_bins", None, "Velocity bins for spectra.", int, default=512),
     Param("atomic_weight", None, "Ion mass (amu) for Doppler widths.", float, default=1.008),
     Param(
+        "profile", None,
+        "Line profile for spectra: gaussian (thermal core) | voigt "
+        "(adds natural damping wings; needs --gamma).",
+        str, default="gaussian",
+    ),
+    Param(
+        "gamma", None,
+        "Damping rate Gamma (1/s) for --profile voigt; H I Lya: 6.265e8.",
+        float, default=None,
+    ),
+    Param(
+        "rest_wavelength", None,
+        "Line rest wavelength in Angstrom (default Lya 1215.67).",
+        float, default=1215.67,
+    ),
+    Param(
         "engine", None,
         "Integration engine: auto | pallas | dense (auto = fused Pallas pass "
         "for large ray x particle workloads, dense sweep otherwise).",
@@ -76,6 +92,9 @@ def run(
     spectra_bins: int,
     atomic_weight: float,
     engine: str = "auto",
+    profile: str = "gaussian",
+    gamma: Optional[float] = None,
+    rest_wavelength: float = 1215.67,
 ) -> int:
     from ..data_structures.particle_types import CoordinateAxes
 
@@ -131,6 +150,8 @@ def run(
                 pos_rot, h, m, v[:, ax.value], T, rx, ry,
                 cosmology=snap.cosmology, box_size=box, n_bins=spectra_bins,
                 atomic_weight=atomic_weight, kernel=kernel,
+                profile=profile, gamma=gamma,
+                rest_wavelength_angstrom=rest_wavelength,
             )
             spec_data = (np.asarray(tau), v_centres)
 

@@ -176,6 +176,46 @@ class TestSightlinesCli:
             dv = v[1] - v[0]
             np.testing.assert_allclose(tau.sum(axis=1) * dv, cols, rtol=2e-2)
 
+    def test_voigt_profile_option(self, sim, tmp_path):
+        """--profile voigt flows through to the spectra engine and the
+        wings carry more optical depth than the Gaussian run."""
+        from astro_sph_tools_tpu.scripts.sightlines_cli import main
+
+        root, snap_path, *_ = sim
+        outs = {}
+        for name, extra in (
+            ("gauss", []),
+            ("voigt", ["--profile", "voigt", "--gamma", "6.265e8"]),
+        ):
+            out = str(tmp_path / f"rays_{name}.hdf5")
+            rc = main([
+                "--snapshot", snap_path, "--output", out,
+                "--n-rays", "8", "--spectra", "--spectra-bins", "512",
+            ] + extra)
+            assert rc == 0
+            with h5py.File(out, "r") as f:
+                outs[name] = np.asarray(f["Spectra/tau"])
+        g, v = outs["gauss"], outs["voigt"]
+        assert g.shape == v.shape
+        # same integrated column (normalised profiles)...
+        np.testing.assert_allclose(g.sum(), v.sum(), rtol=1e-3)
+        # ...but the Voigt run moves depth into the wings: the per-ray
+        # minimum (far-wing) tau is strictly larger where columns exist
+        live = g.sum(axis=1) > 0
+        assert (v[live].min(axis=1) >= g[live].min(axis=1)).all()
+        assert v[live].min() > 0 or (v[live].min(axis=1) > g[live].min(axis=1)).any()
+
+    def test_voigt_requires_gamma_cli(self, sim, tmp_path):
+        from astro_sph_tools_tpu.scripts.sightlines_cli import main
+
+        root, snap_path, *_ = sim
+        with pytest.raises(ValueError, match="damping rate"):
+            main([
+                "--snapshot", snap_path,
+                "--output", str(tmp_path / "x.hdf5"),
+                "--n-rays", "4", "--spectra", "--profile", "voigt",
+            ])
+
     def test_ray_file_input(self, sim, tmp_path):
         from astro_sph_tools_tpu.scripts.sightlines_cli import main
 
