@@ -97,7 +97,13 @@ def main() -> None:
         pos, h, m, v[:, 2], T, rx[:4], ry[:4],
         cosmology=snap.cosmology, box_size=box, n_bins=256,
     )
-    print(f"[6] 64 sightline columns (median {np.median(np.asarray(cols)):.3e}); 4 spectra x {len(vc)} bins")
+    # saturated-absorber studies need the natural damping wings:
+    tau_v, _ = absorption_spectra(
+        pos, h, m, v[:, 2], T, rx[:4], ry[:4],
+        cosmology=snap.cosmology, box_size=box, n_bins=256,
+        profile="voigt", gamma=6.265e8,  # H I Lya
+    )
+    print(f"[6] 64 sightline columns (median {np.median(np.asarray(cols)):.3e}); 4 spectra x {len(vc)} bins (+ Voigt wings)")
 
     # --- 7. catalogue analytics + nearest haloes -----------------------------------
     from astro_sph_tools_tpu.io.catalogue import BasicHaloDefinitions
