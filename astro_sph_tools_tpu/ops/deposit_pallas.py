@@ -912,8 +912,10 @@ def tile_particles(
       (:mod:`.layout_shear`) — same contract, ~2x faster at 1e8 scale for
       shuffled input; level segments carry interleaved zero-value pad
       slots (counts include them; the deposit renders them for free).
-    - ``"auto"``: shear for large device-side builds (>= 2^26 particles,
-      <= 4 fields), sort otherwise (small builds and the host-f64 path).
+    - ``"auto"``: currently the sort (the fine key space fragments the
+      shear appends at 1024^2-map scale — see layout_shear's docstring);
+      random-order production renders should use
+      :func:`.layout_shear.deposit_2d_bucketed` instead.
     """
     kspec = get_kernel(kernel)
     values, _ = _as_field_matrix(values)
@@ -1007,14 +1009,16 @@ def tile_particles(
         y = jnp.asarray(y, jnp.float32)
         h = jnp.asarray(h, jnp.float32)
         x, y, h, values = _pad_particles_pow2(x, y, h, values, spec, pad_h=pad_h)
-        # shear's fixed costs (run schedule, append, cleanup) do not
-        # amortise below ~2^26: measured 0.93 s vs the sort path's ~0.14 s
-        # at 2^24 (e2e chunk scale), winning only at 1e8-class builds
-        use_shear = layout == "shear" or (
-            layout == "auto"
-            and int(h.shape[0]) >= (1 << 26)
-            and 3 + n_fields + int(need_perm) <= 8
-        )
+        # measured at 2^27 on a 1024^2 map (ROADMAP r5): the fine
+        # (level, tile) key space fragments the gang appends — 366K runs,
+        # +34.5% zero-value pad slots — eating the sort savings in append
+        # issues and deposit lanes, and the destination no longer fits
+        # 16 GB alongside the outputs. "auto" therefore keeps the global
+        # sort; layout="shear" stays available for smaller key spaces
+        # (e.g. <= 256^2 maps) where runs stay long. The production
+        # random-order path is the coarse-bucket variant feeding the
+        # coherent engine (ops.layout_shear.deposit_2d_bucketed).
+        use_shear = layout == "shear"
         if use_shear:
             from .layout_shear import shear_tile_sort
 

@@ -221,7 +221,20 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
     # regenerated before every timed iteration — generation is excluded
     # from the timed window (a resident service reuses its layout; the
     # north-star wall is layout + deposit)
-    if engine == "coherent":
+    if engine == "bucketed":
+        # random-order production path: coarse shear bucketing feeding the
+        # coherent engine (ops.layout_shear.deposit_2d_bucketed)
+        from astro_sph_tools_tpu.ops.layout_shear import deposit_2d_bucketed
+
+        def build(*a):
+            return a
+
+        def render(tp):
+            xb, yb, hb, fb, specb = tp
+            return deposit_2d_bucketed(
+                xb, yb, hb, fb, specb, precision="bf16x2", donate=True
+            )
+    elif engine == "coherent":
         def build(*a):
             return tile_particles_coherent(
                 *a, donate=True, prep=prep, window=window
@@ -252,7 +265,10 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         _ = float(out[0].sum())
     warm_s = time.perf_counter() - t0
     n_programs_warm = len(progs)
-    if engine == "coherent":
+    if engine == "bucketed":
+        level_counts = {}
+        n_oversize = 0
+    elif engine == "coherent":
         level_counts = dict(tp.stats)
         n_oversize = int(tp.n_tail_oversize)
     else:
@@ -270,8 +286,8 @@ def run(n: int, order: str, repeats: int = 3, engine: str = "sorted",
         _ = float(out[0].sum())
         wall = min(wall, time.perf_counter() - t0)
 
-        if not measure_phases:
-            continue
+        if not measure_phases or engine == "bucketed":
+            continue  # bucketed: one fused pipeline, no phase split
         del tp
         x, y, h, fields = gen()
         t0 = time.perf_counter()
@@ -314,7 +330,8 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1 << 27)
     ap.add_argument("--order", choices=("morton", "random", "both"), default="morton")
     ap.add_argument(
-        "--engine", choices=("sorted", "coherent", "coherent-fused"),
+        "--engine",
+        choices=("sorted", "coherent", "coherent-fused", "bucketed"),
         default="sorted",
     )
     ap.add_argument("--repeats", type=int, default=3)

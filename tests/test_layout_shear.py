@@ -183,3 +183,53 @@ def test_shear_donated_build(rng):
                         need_perm=False)
     assert tp.perm is None
     assert int(np.asarray(tp.sorted_values).sum() > 0)
+
+
+@pytest.mark.slow
+class TestBucketedDeposit:
+    @pytest.mark.parametrize("order", ["random", "sorted_x"])
+    def test_matches_oracle_and_sorted_engine(self, rng, order):
+        """deposit_2d_bucketed (coarse shear -> coherent engine) is exact
+        for any order, including its zero-value pad slots."""
+        from oracles import project_oracle
+        from astro_sph_tools_tpu.ops.deposit import MapSpec
+        from astro_sph_tools_tpu.ops.layout_shear import deposit_2d_bucketed
+
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box),
+                       periodic_wrap=True)
+        px = box / 64
+        n = 5000
+        x = rng.uniform(0, box, n).astype(np.float32)
+        y = rng.uniform(0, box, n).astype(np.float32)
+        if order == "sorted_x":
+            o = np.argsort(x)
+            x, y = x[o], y[o]
+        h = (10.0 ** rng.uniform(-0.4, 1.0, n) * px).astype(np.float32)
+        m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        img = np.asarray(
+            deposit_2d_bucketed(x, y, h, m, spec, precision="f32")
+        )
+        exp = project_oracle(x, y, h, m, spec.shape, spec.extent,
+                             periodic=True)
+        assert np.abs(img - exp).max() / exp.max() < 1e-5
+
+    def test_multifield(self, rng):
+        from oracles import project_oracle
+        from astro_sph_tools_tpu.ops.deposit import MapSpec
+        from astro_sph_tools_tpu.ops.layout_shear import deposit_2d_bucketed
+
+        box = 10.0
+        spec = MapSpec(shape=(64, 64), extent=(0.0, box, 0.0, box),
+                       periodic_wrap=True)
+        n = 4000
+        x = rng.uniform(0, box, n).astype(np.float32)
+        y = rng.uniform(0, box, n).astype(np.float32)
+        h = rng.uniform(0.1, 0.5, n).astype(np.float32)
+        vals = rng.uniform(0.5, 2.0, (2, n)).astype(np.float32)
+        img = np.asarray(deposit_2d_bucketed(x, y, h, vals, spec,
+                                             precision="f32"))
+        for f in range(2):
+            exp = project_oracle(x, y, h, vals[f], spec.shape, spec.extent,
+                                 periodic=True)
+            assert np.abs(img[f] - exp).max() / exp.max() < 1e-5
