@@ -691,7 +691,10 @@ def _pad_particles_pow2(x, y, h, values, spec: MapSpec, pad_h: float = 1.0):
     padding must land in the smallest footprint level rather than the
     oversize fallback)."""
     n = x.shape[0]
-    n_bucket = max(_CHUNK, _next_pow2(n))
+    # chunk-aligned 12.5% size classes, not pow2: an input just past a
+    # power of two (e.g. the coarse-bucketed stream's +3% pad slots after
+    # 2^27) would otherwise DOUBLE every padded array and OOM the chip
+    n_bucket = _level_bucket(n)
     if n_bucket != n:
         pad = n_bucket - n
         x0, x1, y0, y1 = spec.extent
@@ -711,7 +714,7 @@ def _pad_host_f64(x, y, spec: MapSpec) -> tuple[np.ndarray, np.ndarray]:
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     n = x.shape[0]
-    n_bucket = max(_CHUNK, _next_pow2(n))
+    n_bucket = _level_bucket(n)
     if n_bucket != n:
         pad = n_bucket - n
         x = np.pad(x, (0, pad), constant_values=float(spec.extent[1]))
